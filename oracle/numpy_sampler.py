@@ -137,8 +137,11 @@ def run_hmc_chain(
         eps = math.exp(log_eps)
         p = rng.standard_normal(d)
         h0 = u + 0.5 * p @ p
-        theta_new, p_new = leapfrog(model, theta, p, eps, n_leapfrog)
-        u_new = model.potential(theta_new)
+        # Divergent trajectories overflow exp() transiently; the isfinite
+        # guard below rejects them, so those numpy warnings are benign noise.
+        with np.errstate(over="ignore", invalid="ignore"):
+            theta_new, p_new = leapfrog(model, theta, p, eps, n_leapfrog)
+            u_new = model.potential(theta_new)
         h1 = u_new + 0.5 * p_new @ p_new
         log_alpha = min(0.0, h0 - h1) if np.isfinite(h1) else -np.inf
         accept = math.log(rng.uniform()) < log_alpha
