@@ -1,0 +1,143 @@
+"""Shared warmup/sampling driver for all MCMC heads (SURVEY.md ⑦⑨⑩⑫).
+
+A *kernel* is a callable ``kernel(state, eps, inv_mass) -> (state, info)``
+for ONE chain, where ``info`` exposes ``accept_prob`` and ``diverged``.
+The driver vmaps it over the chain axis, runs the three-phase pooled warmup
+(dual averaging + Welford mass, adapt.py) and the sampling loop as
+``lax.scan`` bodies inside ``jit`` — one host→device round-trip per phase
+(SURVEY.md §3.3).  Chain-axis reductions pool adaptation statistics; under a
+sharded chain axis XLA lowers them to psum collectives (SURVEY.md §5.8).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .adapt import (
+    da_init,
+    da_restart,
+    da_update,
+    welford_init,
+    welford_update_batch,
+    welford_variance,
+)
+
+
+class ChainState(NamedTuple):
+    theta: jax.Array  # (K, 3) unconstrained params
+    u: jax.Array      # potential at theta
+    grad: jax.Array   # dU/dtheta
+    key: jax.Array    # per-chain PRNG key
+
+
+def init_chain_states(key: jax.Array, theta0: jax.Array, grad_fn: Callable) -> ChainState:
+    """Vectorized init over the chain axis: theta0 is (n_chains, K, 3)."""
+    keys = jax.random.split(key, theta0.shape[0])
+
+    def one(k, t):
+        u, g = grad_fn(t)
+        return ChainState(t, u, g, k)
+
+    return jax.vmap(one)(keys, theta0)
+
+
+class WarmupResult(NamedTuple):
+    states: ChainState
+    step_size: jax.Array
+    inv_mass: jax.Array
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_warmup", "adapt_mass"))
+def warmup(
+    states: ChainState,
+    kernel: Callable,
+    n_warmup: int,
+    step_size: float = 0.1,
+    target_accept: float = 0.8,
+    adapt_mass: bool = True,
+) -> WarmupResult:
+    """Three-phase pooled warmup (15% eps / 60% eps+mass / 25% eps)."""
+    n1 = max(n_warmup * 15 // 100, 1)
+    n3 = max(n_warmup * 25 // 100, 1)
+    n2 = max(n_warmup - n1 - n3, 1)
+    param_shape = states.theta.shape[1:]
+    batch_kernel = jax.vmap(kernel, in_axes=(0, None, None))
+
+    def make_phase(accumulate: bool, n_steps: int):
+        def body(carry, _):
+            st, da, wf, inv_mass = carry
+            st, info = batch_kernel(st, jnp.exp(da.log_eps), inv_mass)
+            da = da_update(da, jnp.mean(info.accept_prob), target=target_accept)
+            if accumulate:
+                wf = welford_update_batch(wf, st.theta)
+            return (st, da, wf, inv_mass), None
+
+        def run(st, da, wf, inv_mass):
+            (st, da, wf, inv_mass), _ = jax.lax.scan(
+                body, (st, da, wf, inv_mass), None, length=n_steps
+            )
+            return st, da, wf, inv_mass
+
+        return run
+
+    da = da_init(step_size)
+    wf = welford_init(param_shape)
+    inv_mass = jnp.ones(param_shape, jnp.float32)
+
+    st, da, wf, inv_mass = make_phase(False, n1)(states, da, wf, inv_mass)
+    st, da, wf, inv_mass = make_phase(adapt_mass, n2)(st, da, wf, inv_mass)
+    if adapt_mass:
+        inv_mass = welford_variance(wf)
+        da = da_restart(da)
+    st, da, wf, inv_mass = make_phase(False, n3)(st, da, wf, inv_mass)
+
+    return WarmupResult(st, jnp.exp(da.log_eps_bar), inv_mass)
+
+
+class SampleResult(NamedTuple):
+    thetas: jax.Array        # (n_chains, n_samples, K, 3)
+    accept_prob: jax.Array   # (n_chains, n_samples)
+    diverged: jax.Array      # (n_chains, n_samples)
+    final_states: ChainState
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_samples"))
+def sample(
+    states: ChainState,
+    kernel: Callable,
+    n_samples: int,
+    step_size: jax.Array,
+    inv_mass: jax.Array,
+) -> SampleResult:
+    """Post-warmup sampling at fixed eps/mass; draws collected on-device."""
+    batch_kernel = jax.vmap(kernel, in_axes=(0, None, None))
+
+    def body(st, _):
+        st, info = batch_kernel(st, step_size, inv_mass)
+        return st, (st.theta, info.accept_prob, info.diverged)
+
+    st, (thetas, aprob, div) = jax.lax.scan(body, states, None, length=n_samples)
+    return SampleResult(jnp.moveaxis(thetas, 0, 1), aprob.T, div.T, st)
+
+
+def run_mcmc(
+    key: jax.Array,
+    kernel: Callable,
+    grad_fn: Callable,
+    theta0: jax.Array,
+    n_samples: int,
+    n_warmup: int,
+    step_size: float = 0.1,
+    target_accept: float = 0.8,
+    adapt_mass: bool = True,
+):
+    """init -> warmup -> sample; returns (SampleResult, WarmupResult)."""
+    states = init_chain_states(key, theta0, grad_fn)
+    wr = warmup(
+        states, kernel, n_warmup,
+        step_size=step_size, target_accept=target_accept, adapt_mass=adapt_mass,
+    )
+    return sample(wr.states, kernel, n_samples, wr.step_size, wr.inv_mass), wr
