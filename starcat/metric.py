@@ -1,0 +1,87 @@
+"""Fisher / Riemannian metric (SURVEY.md ④; BASELINE.json:8 "RHMC with
+Riemannian mass matrix").
+
+The metric is the Fisher information of the Poisson likelihood in the
+unconstrained parameterization, plus the prior information, plus a small
+jitter — a smooth, position-dependent PD matrix:
+
+    G(theta) = J^T diag(1/lam) J  +  diag(prior_info)  +  jitter * I
+
+where J[p, a] = d lam_p / d theta_a.  (For a Poisson field, the Fisher
+information is E[grad grad^T log L] = sum_p (d lam/d a)(d lam/d b)/lam_p;
+e.g. the flux-flux block reduces to the classic sum_p PSF_p^2 / lam_p —
+SURVEY.md ④.)
+
+TPU shape: J is assembled from the separable PSF profiles and contracted as
+one (3K, P) @ (P, 3K) matmul — MXU-shaped, batched over chains by vmap.
+
+Dead catalog slots get exact identity rows/columns (their J rows are zero
+because d lam / d theta_dead = 0, and their prior term is masked), so the
+metric stays PD and the Riemannian flow freezes them.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .potential import PriorSpec, constrain
+from .scene import (
+    SceneSpec,
+    gaussian_profile_1d,
+    gaussian_profile_1d_grad,
+    pixel_centers,
+)
+
+
+def scene_jacobian(theta: jax.Array, mask: jax.Array, spec: SceneSpec):
+    """(lam, J): lam (H, W); J (K, 3, H, W) = d lam / d theta (unconstrained)."""
+    x, y, f = constrain(theta, spec)
+    cx = pixel_centers(spec.width, theta.dtype)
+    cy = pixel_centers(spec.height, theta.dtype)
+    gx = gaussian_profile_1d(x, cx, spec.psf_sigma)        # (K, W)
+    gy = gaussian_profile_1d(y, cy, spec.psf_sigma)        # (K, H)
+    dgx = gaussian_profile_1d_grad(x, cx, spec.psf_sigma)  # d gx / d x
+    dgy = gaussian_profile_1d_grad(y, cy, spec.psf_sigma)
+    w = f * mask
+    lam = spec.background + jnp.einsum("kh,kw->hw", gy * w[:, None], gx)
+
+    sx = jax.nn.sigmoid(theta[..., 0])
+    sy = jax.nn.sigmoid(theta[..., 1])
+    dx_dux = spec.width * sx * (1.0 - sx)    # (K,)
+    dy_duy = spec.height * sy * (1.0 - sy)
+
+    # outer products per star: (K, H, W)
+    j_ux = (w * dx_dux)[:, None, None] * gy[:, :, None] * dgx[:, None, :]
+    j_uy = (w * dy_duy)[:, None, None] * dgy[:, :, None] * gx[:, None, :]
+    j_s = w[:, None, None] * gy[:, :, None] * gx[:, None, :]  # d lam/d s = f*psf
+    j = jnp.stack([j_ux, j_uy, j_s], axis=1)  # (K, 3, H, W)
+    return lam, j
+
+
+def prior_information(theta: jax.Array, mask: jax.Array, prior: PriorSpec) -> jax.Array:
+    """Negative Hessian of the log prior, diagonal, shape (K, 3)."""
+    u_pos = theta[..., :2]
+    s_pos = jax.nn.sigmoid(u_pos)
+    info_pos = 2.0 * s_pos * (1.0 - s_pos)          # -d2/du2 of the logit-uniform
+    info_flux = jnp.full(theta.shape[:-1], 1.0 / prior.logf_sigma**2, theta.dtype)
+    info = jnp.concatenate([info_pos, info_flux[..., None]], axis=-1)
+    return info * mask[..., None]
+
+
+def make_metric_fn(spec: SceneSpec, prior: PriorSpec, mask: jax.Array, jitter: float = 1e-3):
+    """Return metric(theta) -> G, a (3K, 3K) PD matrix (single chain; vmap outside)."""
+
+    def metric(theta: jax.Array) -> jax.Array:
+        k = theta.shape[0]
+        d = 3 * k
+        lam, j = scene_jacobian(theta, mask, spec)
+        jf = j.reshape(d, -1)                          # (3K, P)
+        fisher = (jf / lam.reshape(-1)) @ jf.T         # (3K, 3K) matmul
+        info = prior_information(theta, mask, prior).reshape(d)
+        mask_p = jnp.repeat(mask, 3)                   # per-param alive mask
+        g = fisher + jnp.diag(info)
+        # exact identity rows/cols for dead slots (fisher rows already zero)
+        g = g * jnp.outer(mask_p, mask_p) + jnp.diag(1.0 - mask_p)
+        return g + jitter * jnp.eye(d, dtype=theta.dtype)
+
+    return metric

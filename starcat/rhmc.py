@@ -1,0 +1,161 @@
+"""Riemannian-manifold HMC head (SURVEY.md ⑥⑧; BASELINE.json:8, config 1).
+
+Non-separable Hamiltonian on the Fisher metric G(theta) (metric.py):
+
+    H(theta, p) = U(theta) + 1/2 log det G(theta) + 1/2 p^T G(theta)^-1 p
+
+integrated with the generalized (implicit) leapfrog of Girolami &
+Calderhead (2011) using a FIXED number of Picard sweeps
+(integrators.riemannian_leapfrog) so the whole transition jits and vmaps
+(SURVEY.md §7.3).  dH/dtheta is obtained by jax.grad through the metric
+construction and its Cholesky — XLA differentiates the (3K,3K) factor at
+negligible cost next to the J^T J contraction.
+
+Momentum refresh: p ~ N(0, G(theta)) via the Cholesky factor; dead slots'
+momenta are zeroed (their G rows are identity, so the flow leaves them
+fixed either way — zeroing also keeps Delta-H exactly mask-invariant).
+
+Internally theta and p are FLAT (3K,) vectors (the metric is a dense
+(3K,3K) matrix); the (K,3) catalog layout is restored at the ChainState
+boundary.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .driver import ChainState, run_mcmc
+from .integrators import riemannian_leapfrog
+
+
+class RHMCConfig(NamedTuple):
+    step_size: float = 0.05
+    n_leapfrog: int = 10
+    fixed_point_iters: int = 6
+    target_accept: float = 0.8
+    divergence_threshold: float = 1000.0
+
+
+class RHMCInfo(NamedTuple):
+    accept_prob: jax.Array
+    accepted: jax.Array
+    diverged: jax.Array
+    energy_error: jax.Array
+
+
+def make_rhmc_functions(potential_fn: Callable, metric_fn: Callable):
+    """Flat-vector Hamiltonian callables for the generalized leapfrog.
+
+    potential_fn: theta (K,3) -> U scalar (already masked).
+    metric_fn:    theta (K,3) -> G (3K,3K).
+    Returns (hamiltonian, dH_dtheta, dH_dp), all taking (theta_flat, p_flat).
+    """
+
+    def ham(theta_flat, p):
+        theta = theta_flat.reshape(-1, 3)
+        g = metric_fn(theta)
+        chol = jnp.linalg.cholesky(g)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        ginv_p = jax.scipy.linalg.cho_solve((chol, True), p)
+        return potential_fn(theta) + 0.5 * logdet + 0.5 * jnp.dot(p, ginv_p)
+
+    dham_dtheta = jax.grad(ham, argnums=0)
+
+    def dham_dp(theta_flat, p):
+        theta = theta_flat.reshape(-1, 3)
+        g = metric_fn(theta)
+        chol = jnp.linalg.cholesky(g)
+        return jax.scipy.linalg.cho_solve((chol, True), p)
+
+    return ham, dham_dtheta, dham_dp
+
+
+def rhmc_step(
+    state: ChainState,
+    potential_fn: Callable,
+    metric_fn: Callable,
+    hamiltonian: Callable,
+    dH_dtheta: Callable,
+    dH_dp: Callable,
+    eps: jax.Array,
+    n_leapfrog: int,
+    fixed_point_iters: int,
+    mask: jax.Array,
+    divergence_threshold: float = 1000.0,
+):
+    """One RHMC transition for a single chain (vmap over chains in driver)."""
+    key, k_mom, k_acc, k_jit = jax.random.split(state.key, 4)
+    kshape = state.theta.shape
+    theta0 = state.theta.reshape(-1)
+    mask_p = jnp.repeat(mask, 3)
+
+    eps_j = eps * (0.8 + 0.4 * jax.random.uniform(k_jit))
+
+    g = metric_fn(state.theta)
+    chol = jnp.linalg.cholesky(g)
+    xi = jax.random.normal(k_mom, theta0.shape, theta0.dtype)
+    p0 = (chol @ xi) * mask_p
+
+    h0 = hamiltonian(theta0, p0)
+    res = riemannian_leapfrog(
+        dH_dtheta, dH_dp, theta0, p0, eps_j, n_leapfrog, fixed_point_iters
+    )
+    h1 = hamiltonian(res.theta, res.p)
+    energy_error = jnp.where(jnp.isfinite(h1 - h0), h1 - h0, jnp.inf)
+    accept_prob = jnp.exp(jnp.minimum(0.0, -energy_error))
+    diverged = energy_error > divergence_threshold
+
+    accept = jax.random.uniform(k_acc) < accept_prob
+    theta_new = jnp.where(accept, res.theta, theta0).reshape(kshape)
+    # keep ChainState's cached u coherent; grad is unused by this head
+    u = jnp.where(accept, potential_fn(res.theta.reshape(kshape)), state.u)
+
+    return ChainState(theta_new, u, state.grad, key), RHMCInfo(
+        accept_prob, accept, diverged, energy_error
+    )
+
+
+def make_rhmc_kernel(
+    potential_fn: Callable,
+    metric_fn: Callable,
+    mask: jax.Array,
+    config: RHMCConfig = RHMCConfig(),
+):
+    """Kernel factory with the driver.py signature (state, eps, inv_mass).
+
+    The driver's inv_mass argument is ignored — the Fisher metric IS the
+    (position-dependent) mass matrix, so run with adapt_mass=False.
+    """
+    ham, dhdt, dhdp = make_rhmc_functions(potential_fn, metric_fn)
+
+    def kernel(state, eps, inv_mass):
+        del inv_mass
+        return rhmc_step(
+            state, potential_fn, metric_fn, ham, dhdt, dhdp,
+            eps, config.n_leapfrog, config.fixed_point_iters, mask,
+            config.divergence_threshold,
+        )
+
+    return kernel
+
+
+def run_rhmc(
+    key: jax.Array,
+    potential_fn: Callable,
+    metric_fn: Callable,
+    grad_fn: Callable,
+    theta0: jax.Array,  # (n_chains, K, 3)
+    mask: jax.Array,
+    n_samples: int,
+    n_warmup: int,
+    config: RHMCConfig = RHMCConfig(),
+):
+    """Config-1 driver: 64-chain RHMC with step-size-only warmup."""
+    kernel = make_rhmc_kernel(potential_fn, metric_fn, mask, config)
+    return run_mcmc(
+        key, kernel, grad_fn, theta0, n_samples, n_warmup,
+        step_size=config.step_size, target_accept=config.target_accept,
+        adapt_mass=False,
+    )
