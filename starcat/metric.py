@@ -68,10 +68,11 @@ def prior_information(theta: jax.Array, mask: jax.Array, prior: PriorSpec) -> ja
     return info * mask[..., None]
 
 
-def make_metric_fn(spec: SceneSpec, prior: PriorSpec, mask: jax.Array, jitter: float = 1e-3):
-    """Return metric(theta) -> G, a (3K, 3K) PD matrix (single chain; vmap outside)."""
+def make_metric_fn(spec: SceneSpec, prior: PriorSpec, jitter: float = 1e-3):
+    """Return metric(theta, mask) -> G, a (3K, 3K) PD matrix (single chain;
+    vmap outside — mask may vary per chain for trans-dimensional heads)."""
 
-    def metric(theta: jax.Array) -> jax.Array:
+    def metric(theta: jax.Array, mask: jax.Array) -> jax.Array:
         k = theta.shape[0]
         d = 3 * k
         lam, j = scene_jacobian(theta, mask, spec)

@@ -48,24 +48,25 @@ class RHMCInfo(NamedTuple):
 def make_rhmc_functions(potential_fn: Callable, metric_fn: Callable):
     """Flat-vector Hamiltonian callables for the generalized leapfrog.
 
-    potential_fn: theta (K,3) -> U scalar (already masked).
-    metric_fn:    theta (K,3) -> G (3K,3K).
-    Returns (hamiltonian, dH_dtheta, dH_dp), all taking (theta_flat, p_flat).
+    potential_fn: (theta (K,3), mask (K,)) -> U scalar.
+    metric_fn:    (theta (K,3), mask (K,)) -> G (3K,3K).
+    Returns (hamiltonian, dH_dtheta, dH_dp), all taking
+    (theta_flat, p_flat, mask) — mask may vary per chain (trans-d heads).
     """
 
-    def ham(theta_flat, p):
+    def ham(theta_flat, p, mask):
         theta = theta_flat.reshape(-1, 3)
-        g = metric_fn(theta)
+        g = metric_fn(theta, mask)
         chol = jnp.linalg.cholesky(g)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
         ginv_p = jax.scipy.linalg.cho_solve((chol, True), p)
-        return potential_fn(theta) + 0.5 * logdet + 0.5 * jnp.dot(p, ginv_p)
+        return potential_fn(theta, mask) + 0.5 * logdet + 0.5 * jnp.dot(p, ginv_p)
 
     dham_dtheta = jax.grad(ham, argnums=0)
 
-    def dham_dp(theta_flat, p):
+    def dham_dp(theta_flat, p, mask):
         theta = theta_flat.reshape(-1, 3)
-        g = metric_fn(theta)
+        g = metric_fn(theta, mask)
         chol = jnp.linalg.cholesky(g)
         return jax.scipy.linalg.cho_solve((chol, True), p)
 
@@ -93,16 +94,18 @@ def rhmc_step(
 
     eps_j = eps * (0.8 + 0.4 * jax.random.uniform(k_jit))
 
-    g = metric_fn(state.theta)
+    g = metric_fn(state.theta, mask)
     chol = jnp.linalg.cholesky(g)
     xi = jax.random.normal(k_mom, theta0.shape, theta0.dtype)
     p0 = (chol @ xi) * mask_p
 
-    h0 = hamiltonian(theta0, p0)
+    h0 = hamiltonian(theta0, p0, mask)
     res = riemannian_leapfrog(
-        dH_dtheta, dH_dp, theta0, p0, eps_j, n_leapfrog, fixed_point_iters
+        lambda th, p: dH_dtheta(th, p, mask),
+        lambda th, p: dH_dp(th, p, mask),
+        theta0, p0, eps_j, n_leapfrog, fixed_point_iters,
     )
-    h1 = hamiltonian(res.theta, res.p)
+    h1 = hamiltonian(res.theta, res.p, mask)
     energy_error = jnp.where(jnp.isfinite(h1 - h0), h1 - h0, jnp.inf)
     accept_prob = jnp.exp(jnp.minimum(0.0, -energy_error))
     diverged = energy_error > divergence_threshold
@@ -110,7 +113,7 @@ def rhmc_step(
     accept = jax.random.uniform(k_acc) < accept_prob
     theta_new = jnp.where(accept, res.theta, theta0).reshape(kshape)
     # keep ChainState's cached u coherent; grad is unused by this head
-    u = jnp.where(accept, potential_fn(res.theta.reshape(kshape)), state.u)
+    u = jnp.where(accept, potential_fn(res.theta.reshape(kshape), mask), state.u)
 
     return ChainState(theta_new, u, state.grad, key), RHMCInfo(
         accept_prob, accept, diverged, energy_error

@@ -1,0 +1,257 @@
+"""Trans-dimensional catalog moves (SURVEY.md ⑪; BASELINE.json:10):
+birth/death and flux-conserving split/merge on a fixed-capacity masked
+catalog — the TPU-native answer to RJMCMC under XLA's static shapes
+(SURVEY.md §7.3: K_max slots + alive mask; dead slots contribute exactly 0).
+
+Target measure over the slot representation (K_max slots, n alive):
+
+    pi(mask, theta) ∝ [ p(n) / C(K_max, n) ] * prod_alive p(theta_i) * L(D|theta)
+
+with p(n) = Poisson(n; Lambda) truncated to [0, K_max] (the truncation
+constant cancels in every ratio).  The 1/C(K_max, n) symmetrization makes
+all slot assignments of the same physical catalog equally weighted, so the
+marginal over physical catalogs has the intended p(n).
+
+Acceptance ratios (derived in-line below; the slot-choice combinatorics
+cancel exactly against the C(K_max, n) factors):
+
+    birth (prior-draw proposal, uniform dead slot):
+        A = LR * Lambda / (n+1)
+    death (uniform alive slot):
+        A = LR * n / Lambda
+    split (parent j, dead slot d, u~U(0,1), delta~N(0, sig_split^2 I2)):
+        children: f1 = u f, f2 = (1-u) f,
+                  pos1 = pos + (1-u) delta, pos2 = pos - u delta
+        A = LR * Lambda/(n+1) * [p_c(c1) p_c(c2) / p_c(parent)]
+               * f / ( q(u) q(delta) )          (|Jacobian| = f)
+    merge (ordered alive pair (a, b), merged into a):
+        exact reciprocal of the matching split.
+
+All densities in the split/merge ratio are evaluated in CONSTRAINED
+coordinates (x, y, f) — self-consistent because the proposal is specified
+there; reparameterization Jacobians cancel between target and proposal.
+
+Moves are static-shape, per-chain, vmap/jit-safe; slot selection uses the
+Gumbel-argmax trick over the mask.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .potential import PriorSpec, constrain, unconstrain
+from .scene import SceneSpec
+
+
+class TransDimConfig(NamedTuple):
+    lam_count: float = 5.0       # Poisson prior intensity Lambda on n
+    split_sigma: float = 1.0     # sd of the split displacement (pixels)
+    p_birth_death: float = 0.5   # prob of attempting birth/death vs split/merge
+    fmin: float = 1e-3           # floor used only to keep logs finite
+
+
+class MoveInfo(NamedTuple):
+    accepted: jax.Array
+    log_alpha: jax.Array
+    move_type: jax.Array  # 0 birth, 1 death, 2 split, 3 merge
+
+
+def _gumbel_choice(key: jax.Array, weights: jax.Array) -> jax.Array:
+    """Uniform choice among slots where weights > 0 (static shape)."""
+    g = jax.random.gumbel(key, weights.shape)
+    scores = jnp.where(weights > 0, g, -jnp.inf)
+    return jnp.argmax(scores)
+
+
+def _log_flux_prior_constrained(f: jax.Array, prior: PriorSpec) -> jax.Array:
+    """log p_c(f) for the log-normal flux prior (density w.r.t. df)."""
+    s = jnp.log(f)
+    z = (s - prior.logf_mean) / prior.logf_sigma
+    return (
+        -0.5 * z * z
+        - jnp.log(prior.logf_sigma)
+        - 0.5 * math.log(2.0 * math.pi)
+        - s  # 1/f Jacobian: LogNormal density
+    )
+
+
+def birth_death_step(
+    key: jax.Array,
+    theta: jax.Array,   # (K, 3) unconstrained
+    mask: jax.Array,    # (K,)
+    loglik: jax.Array,  # cached log-likelihood at (theta, mask)
+    loglik_fn: Callable,  # (theta, mask) -> loglik
+    prior: PriorSpec,
+    cfg: TransDimConfig,
+):
+    """One birth-or-death proposal (0.5/0.5; impossible moves auto-reject)."""
+    k_move, k_slot, k_draw, k_acc = jax.random.split(key, 4)
+    kmax = mask.shape[0]
+    n = jnp.sum(mask)
+    do_birth = jax.random.bernoulli(k_move)
+
+    # ---- birth branch quantities ---------------------------------------
+    dead_slot = _gumbel_choice(k_slot, 1.0 - mask)
+    from .potential import sample_prior  # local import avoids cycle at module load
+
+    theta_star = sample_prior(k_draw, 1, prior)[0]
+    theta_b = theta.at[dead_slot].set(theta_star)
+    mask_b = mask.at[dead_slot].set(1.0)
+    # A_birth = LR * Lambda/(n+1): prior proposal cancels the prior density,
+    # and the uniform dead/alive slot choices cancel the C(K_max, n) factors.
+    loglik_b = loglik_fn(theta_b, mask_b)
+    log_alpha_b = (loglik_b - loglik) + jnp.log(cfg.lam_count) - jnp.log(n + 1.0)
+    log_alpha_b = jnp.where(n < kmax, log_alpha_b, -jnp.inf)
+
+    # ---- death branch quantities ---------------------------------------
+    alive_slot = _gumbel_choice(k_slot, mask)
+    mask_d = mask.at[alive_slot].set(0.0)
+    loglik_d = loglik_fn(theta, mask_d)
+    log_alpha_d = (loglik_d - loglik) + jnp.log(jnp.maximum(n, 1.0)) - jnp.log(cfg.lam_count)
+    log_alpha_d = jnp.where(n > 0, log_alpha_d, -jnp.inf)
+
+    log_alpha = jnp.where(do_birth, log_alpha_b, log_alpha_d)
+    accept = jnp.log(jax.random.uniform(k_acc)) < log_alpha
+
+    theta_new = jnp.where(accept & do_birth, theta_b, theta)
+    mask_new = jnp.where(accept, jnp.where(do_birth, mask_b, mask_d), mask)
+    loglik_new = jnp.where(accept, jnp.where(do_birth, loglik_b, loglik_d), loglik)
+    info = MoveInfo(accept, log_alpha, jnp.where(do_birth, 0, 1))
+    return theta_new, mask_new, loglik_new, info
+
+
+def split_merge_step(
+    key: jax.Array,
+    theta: jax.Array,
+    mask: jax.Array,
+    loglik: jax.Array,
+    loglik_fn: Callable,
+    prior: PriorSpec,
+    spec: SceneSpec,
+    cfg: TransDimConfig,
+):
+    """One split-or-merge proposal (flux-conserving, centroid-preserving)."""
+    k_move, k_j, k_d, k_u, k_delta, k_acc = jax.random.split(key, 6)
+    kmax = mask.shape[0]
+    n = jnp.sum(mask)
+    do_split = jax.random.bernoulli(k_move)
+    sig = cfg.split_sigma
+    log_q_norm = -math.log(2.0 * math.pi * sig * sig)  # log N2(delta;0,sig^2 I) const
+    log_area = math.log(spec.width * spec.height)
+
+    x, y, f = constrain(theta, spec)
+    f = jnp.maximum(f, cfg.fmin)
+
+    # ---- split ----------------------------------------------------------
+    j = _gumbel_choice(k_j, mask)          # parent (alive)
+    d = _gumbel_choice(k_d, 1.0 - mask)    # child-2 slot (dead)
+    u = jax.random.uniform(k_u, minval=1e-4, maxval=1.0 - 1e-4)
+    delta = sig * jax.random.normal(k_delta, (2,))
+    xj, yj, fj = x[j], y[j], f[j]
+    x1, y1 = xj + (1.0 - u) * delta[0], yj + (1.0 - u) * delta[1]
+    x2, y2 = xj - u * delta[0], yj - u * delta[1]
+    f1, f2 = u * fj, (1.0 - u) * fj
+
+    in_bounds = (
+        (x1 > 0.0) & (x1 < spec.width) & (x2 > 0.0) & (x2 < spec.width)
+        & (y1 > 0.0) & (y1 < spec.height) & (y2 > 0.0) & (y2 < spec.height)
+        # child fluxes must stay above the log floor, else the clamp below
+        # would break split<->merge bijectivity (reject instead)
+        & (f1 > cfg.fmin) & (f2 > cfg.fmin)
+    )
+    xc1, yc1 = jnp.clip(x1, 1e-3, spec.width - 1e-3), jnp.clip(y1, 1e-3, spec.height - 1e-3)
+    xc2, yc2 = jnp.clip(x2, 1e-3, spec.width - 1e-3), jnp.clip(y2, 1e-3, spec.height - 1e-3)
+    th1 = unconstrain(xc1[None], yc1[None], jnp.maximum(f1, cfg.fmin)[None], spec)[0]
+    th2 = unconstrain(xc2[None], yc2[None], jnp.maximum(f2, cfg.fmin)[None], spec)[0]
+    theta_s = theta.at[j].set(th1).at[d].set(th2)
+    mask_s = mask.at[d].set(1.0)
+    loglik_s = loglik_fn(theta_s, mask_s)
+
+    # prior ratio (constrained): one extra uniform position + flux factorization
+    log_prior_ratio_s = (
+        -log_area
+        + _log_flux_prior_constrained(f1, prior)
+        + _log_flux_prior_constrained(f2, prior)
+        - _log_flux_prior_constrained(fj, prior)
+    )
+    log_q_delta = log_q_norm - 0.5 * jnp.sum((delta / sig) ** 2)
+    log_alpha_s = (
+        (loglik_s - loglik)
+        + jnp.log(cfg.lam_count) - jnp.log(n + 1.0)
+        + log_prior_ratio_s
+        + jnp.log(fj)          # |Jacobian| = parent flux
+        - log_q_delta          # q(u) = 1
+    )
+    log_alpha_s = jnp.where((n >= 1) & (n < kmax) & in_bounds, log_alpha_s, -jnp.inf)
+
+    # ---- merge ----------------------------------------------------------
+    a = _gumbel_choice(k_j, mask)  # surviving slot
+    # dying slot: alive, not a
+    b = _gumbel_choice(k_d, mask * (1.0 - jax.nn.one_hot(a, kmax)))
+    fa, fb = f[a], f[b]
+    fm = fa + fb
+    xm = (fa * x[a] + fb * x[b]) / fm
+    ym = (fa * y[a] + fb * y[b]) / fm
+    um = fa / fm
+    delta_m = jnp.stack([x[a] - x[b], y[a] - y[b]])
+    thm = unconstrain(
+        jnp.clip(xm, 1e-3, spec.width - 1e-3)[None],
+        jnp.clip(ym, 1e-3, spec.height - 1e-3)[None],
+        jnp.maximum(fm, cfg.fmin)[None],
+        spec,
+    )[0]
+    theta_m = theta.at[a].set(thm)
+    mask_m = mask.at[b].set(0.0)
+    loglik_m = loglik_fn(theta_m, mask_m)
+
+    log_prior_ratio_m = (
+        log_area
+        + _log_flux_prior_constrained(fm, prior)
+        - _log_flux_prior_constrained(fa, prior)
+        - _log_flux_prior_constrained(fb, prior)
+    )
+    log_q_delta_m = log_q_norm - 0.5 * jnp.sum((delta_m / sig) ** 2)
+    # reciprocal of the matching split from (n-1) alive:
+    log_alpha_m = (
+        (loglik_m - loglik)
+        - jnp.log(cfg.lam_count) + jnp.log(jnp.maximum(n, 1.0))
+        + log_prior_ratio_m
+        - jnp.log(jnp.maximum(fm, cfg.fmin))
+        + log_q_delta_m
+    )
+    # need n >= 2, and the implied reverse-split draw u_m must lie inside the
+    # truncated U(1e-4, 1-1e-4) support used by the forward split
+    um_ok = (um > 1e-4) & (um < 1.0 - 1e-4)
+    log_alpha_m = jnp.where((n >= 2) & um_ok, log_alpha_m, -jnp.inf)
+
+    log_alpha = jnp.where(do_split, log_alpha_s, log_alpha_m)
+    accept = jnp.log(jax.random.uniform(k_acc)) < log_alpha
+
+    theta_new = jnp.where(accept, jnp.where(do_split, theta_s, theta_m), theta)
+    mask_new = jnp.where(accept, jnp.where(do_split, mask_s, mask_m), mask)
+    loglik_new = jnp.where(accept, jnp.where(do_split, loglik_s, loglik_m), loglik)
+    info = MoveInfo(accept, log_alpha, jnp.where(do_split, 2, 3))
+    return theta_new, mask_new, loglik_new, info
+
+
+def transdim_sweep(
+    key: jax.Array,
+    theta: jax.Array,
+    mask: jax.Array,
+    loglik: jax.Array,
+    loglik_fn: Callable,
+    prior: PriorSpec,
+    spec: SceneSpec,
+    cfg: TransDimConfig,
+):
+    """One trans-dimensional move: birth/death w.p. p_birth_death, else
+    split/merge.  Single chain — vmap over (key, theta, mask, loglik)."""
+    k_sel, k_bd, k_sm = jax.random.split(key, 3)
+    bd = birth_death_step(k_bd, theta, mask, loglik, loglik_fn, prior, cfg)
+    sm = split_merge_step(k_sm, theta, mask, loglik, loglik_fn, prior, spec, cfg)
+    pick_bd = jax.random.bernoulli(k_sel, cfg.p_birth_death)
+    out = jax.tree.map(lambda a, b: jnp.where(pick_bd, a, b), bd, sm)
+    return out

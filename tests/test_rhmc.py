@@ -43,8 +43,8 @@ def test_scene_jacobian_matches_fd():
 def test_metric_pd_symmetric_and_masked():
     theta = sample_prior(jax.random.key(1), 4, PRIOR)
     mask = jnp.array([1.0, 1.0, 0.0, 1.0])
-    metric = make_metric_fn(SPEC, PRIOR, mask)
-    g = np.asarray(metric(theta))
+    metric = make_metric_fn(SPEC, PRIOR)
+    g = np.asarray(metric(theta, mask))
     np.testing.assert_allclose(g, g.T, atol=1e-5)
     evals = np.linalg.eigvalsh(g)
     assert evals.min() > 0
@@ -59,8 +59,8 @@ def test_fisher_flux_block_analytic():
     """Flux-flux Fisher entry for one star == sum_p (f*psf)^2/lam (in s-coords)."""
     theta = unconstrain(jnp.array([8.0]), jnp.array([8.0]), jnp.array([200.0]), SPEC)
     mask = jnp.ones(1)
-    metric = make_metric_fn(SPEC, PRIOR, mask, jitter=0.0)
-    g = np.asarray(metric(theta))
+    metric = make_metric_fn(SPEC, PRIOR, jitter=0.0)
+    g = np.asarray(metric(theta, mask))
     lam, j = scene_jacobian(theta, mask, SPEC)
     expected = float((np.asarray(j[0, 2]) ** 2 / np.asarray(lam)).sum()) + 1.0 / PRIOR.logf_sigma**2
     np.testing.assert_allclose(g[2, 2], expected, rtol=1e-5)
@@ -71,13 +71,15 @@ def test_riemannian_leapfrog_reversible_and_energy():
         jax.random.key(2), jnp.array([8.0]), jnp.array([8.0]), jnp.array([200.0]), SPEC
     )
     mask = jnp.ones(1)
-    pot = starcat.make_potential(SPEC, img, PRIOR)
-    pfn = lambda th: pot(th, mask)
-    metric = make_metric_fn(SPEC, PRIOR, mask)
-    ham, dhdt, dhdp = make_rhmc_functions(pfn, metric)
+    pfn = starcat.make_potential(SPEC, img, PRIOR)
+    metric = make_metric_fn(SPEC, PRIOR)
+    ham3, dhdt3, dhdp3 = make_rhmc_functions(pfn, metric)
+    ham = lambda th, p: ham3(th, p, mask)
+    dhdt = lambda th, p: dhdt3(th, p, mask)
+    dhdp = lambda th, p: dhdp3(th, p, mask)
 
     theta0 = unconstrain(jnp.array([8.2]), jnp.array([7.9]), jnp.array([190.0]), SPEC).reshape(-1)
-    g = metric(theta0.reshape(-1, 3))
+    g = metric(theta0.reshape(-1, 3), mask)
     p0 = jnp.linalg.cholesky(g) @ jax.random.normal(jax.random.key(3), (3,))
 
     h0 = float(ham(theta0, p0))
@@ -100,9 +102,8 @@ def test_rhmc_matches_hmc_on_scene():
     mask = jnp.ones(1)
     pg = starcat.make_potential_and_grad(SPEC, img, prior)
     gf = lambda th: pg(th, mask)
-    pot = starcat.make_potential(SPEC, img, prior)
-    pfn = lambda th: pot(th, mask)
-    metric = make_metric_fn(SPEC, prior, mask)
+    pfn = starcat.make_potential(SPEC, img, prior)
+    metric = make_metric_fn(SPEC, prior)
 
     theta0 = unconstrain(jnp.array([8.3]), jnp.array([7.6]), jnp.array([300.0]), SPEC)[
         None
