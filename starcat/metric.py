@@ -72,7 +72,9 @@ def make_metric_fn(spec: SceneSpec, prior: PriorSpec, jitter: float = 1e-3):
     """Return metric(theta, mask) -> G, a (3K, 3K) PD matrix (single chain;
     vmap outside — mask may vary per chain for trans-dimensional heads)."""
 
-    def metric(theta: jax.Array, mask: jax.Array) -> jax.Array:
+    def metric(theta: jax.Array, mask: jax.Array, beta=1.0) -> jax.Array:
+        # beta tempers the likelihood Fisher block (SMC mutation target);
+        # beta=1 is the posterior metric used by the RHMC head.
         k = theta.shape[0]
         d = 3 * k
         lam, j = scene_jacobian(theta, mask, spec)
@@ -80,7 +82,7 @@ def make_metric_fn(spec: SceneSpec, prior: PriorSpec, jitter: float = 1e-3):
         fisher = (jf / lam.reshape(-1)) @ jf.T         # (3K, 3K) matmul
         info = prior_information(theta, mask, prior).reshape(d)
         mask_p = jnp.repeat(mask, 3)                   # per-param alive mask
-        g = fisher + jnp.diag(info)
+        g = beta * fisher + jnp.diag(info)
         # exact identity rows/cols for dead slots (fisher rows already zero)
         g = g * jnp.outer(mask_p, mask_p) + jnp.diag(1.0 - mask_p)
         return g + jitter * jnp.eye(d, dtype=theta.dtype)

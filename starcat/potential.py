@@ -151,6 +151,27 @@ def make_potential(spec: SceneSpec, image: jax.Array, prior: PriorSpec):
     return potential
 
 
+def make_tempered_potential_and_grad(spec: SceneSpec, image: jax.Array, prior: PriorSpec):
+    """Analytic (U_beta, dU_beta/dtheta) for the likelihood-tempered target
+
+        U_beta(theta) = -[ beta * log L(theta) + log prior(theta) ]
+
+    used by the SMC head (SURVEY.md ⑬): fn(theta, mask, beta).
+    beta may be a traced scalar (the SMC temperature)."""
+    pg = make_potential_and_grad(spec, image, prior)
+    # U = -(ll + lp); recover the likelihood part by subtracting the prior part.
+
+    def tempered(theta: jax.Array, mask: jax.Array, beta: jax.Array):
+        u_full, g_full = pg(theta, mask)
+        lp = log_prior(theta, mask, prior)
+        glp = log_prior_grad(theta, mask, prior)
+        ll = -(u_full) - lp
+        gll = -g_full - glp
+        return -(beta * ll + lp), -(beta * gll + glp)
+
+    return tempered
+
+
 def make_potential_and_grad(spec: SceneSpec, image: jax.Array, prior: PriorSpec):
     """Analytic (U, dU/dtheta) in closed form (SURVEY.md ③).
 

@@ -1,0 +1,294 @@
+"""Likelihood-tempered SMC head (SURVEY.md ⑬; BASELINE.json:10-11,
+configs 3-4): adaptive tempering, systematic resampling, RHMC/HMC mutation,
+optional trans-dimensional moves — one global jit program whose particle
+axis shards over a device mesh (dist.py).
+
+Per temperature step (SURVEY.md §3.4 call stack):
+  1. adaptive Delta-beta by bisection so the incremental ESS hits
+     ess_target_frac * P (26 fixed bisection sweeps, on-device);
+  2. reweight: logw += Delta-beta * loglik; logZ += logmeanexp(incr);
+  3. systematic resampling: the cumulative-weight inversion is computed
+     from the GLOBAL weight vector (a logsumexp + cumsum — XLA lowers these
+     to psum-style collectives under sharding) and the particle gather
+     theta[idx] becomes the cross-device all-to-all; every device computes
+     the identical plan from the same folded key (SURVEY.md §7.3
+     "distributed resampling determinism");
+  4. mutation at the new temperature: n_mutation_steps of RHMC (tempered
+     Fisher metric) or HMC, plus n_transdim_sweeps birth/death/split-merge
+     sweeps; step size follows a Robbins-Monro acceptance controller.
+
+Communication per step is one scalar reduction + one P-float logsumexp +
+the resampling gather — tiny by design; this is why >=95% scaling
+efficiency 1->8 hosts is reachable (SURVEY.md §5.8).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .driver import ChainState
+from .hmc import hmc_step
+from .metric import make_metric_fn
+from .potential import (
+    PriorSpec,
+    log_likelihood,
+    make_tempered_potential_and_grad,
+    sample_prior,
+)
+from .rhmc import make_rhmc_functions, rhmc_step
+from .scene import SceneSpec
+from .transdim import TransDimConfig, transdim_sweep
+
+
+class SMCConfig(NamedTuple):
+    n_particles: int = 1024
+    ess_target_frac: float = 0.5
+    max_steps: int = 60
+    mutation: str = "rhmc"             # "rhmc" | "hmc"
+    n_mutation_steps: int = 2
+    n_leapfrog: int = 8
+    fixed_point_iters: int = 4
+    n_transdim_sweeps: int = 0         # > 0 enables trans-dimensional moves
+    step_size0: float = 0.1
+    target_accept: float = 0.65
+    divergence_threshold: float = 1000.0
+    transdim: TransDimConfig = TransDimConfig()
+
+
+class SMCState(NamedTuple):
+    key: jax.Array
+    theta: jax.Array    # (P, K, 3)
+    mask: jax.Array     # (P, K)
+    loglik: jax.Array   # (P,) untempered log-likelihood
+    beta: jax.Array
+    log_z: jax.Array
+    eps: jax.Array
+    n_steps: jax.Array
+    mean_accept: jax.Array
+
+
+class SMCResult(NamedTuple):
+    theta: jax.Array
+    mask: jax.Array
+    loglik: jax.Array
+    log_z: jax.Array
+    n_steps: jax.Array
+    eps: jax.Array
+    mean_accept: jax.Array
+
+
+def ess_from_logw(logw: jax.Array) -> jax.Array:
+    """Kish effective sample size of (unnormalized) log weights."""
+    return jnp.exp(2.0 * jax.nn.logsumexp(logw) - jax.nn.logsumexp(2.0 * logw))
+
+
+def systematic_resample(key: jax.Array, logw: jax.Array) -> jax.Array:
+    """Systematic resampling plan: (P,) parent indices, static shape.
+
+    Deterministic given (key, logw): under sharding every device computes
+    the same plan from the same key, then the gather is a collective.
+    """
+    n = logw.shape[0]
+    w = jax.nn.softmax(logw)
+    cum = jnp.cumsum(w)
+    u0 = jax.random.uniform(key) / n
+    pos = u0 + jnp.arange(n, dtype=w.dtype) / n
+    idx = jnp.searchsorted(cum, pos)
+    return jnp.clip(idx, 0, n - 1)
+
+
+def _next_dbeta(beta, loglik, target_ess, n_bisect: int = 26):
+    """Largest Delta-beta <= 1-beta with ESS(Delta-beta * loglik) >= target."""
+    full = 1.0 - beta
+
+    def ess_of(db):
+        return ess_from_logw(db * loglik)
+
+    def bisect(_):
+        def body(i, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            ok = ess_of(mid) >= target_ess
+            return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, n_bisect, body, (jnp.zeros_like(full), full))
+        return lo
+
+    return jax.lax.cond(ess_of(full) >= target_ess, lambda _: full, bisect, None)
+
+
+def init_smc(
+    key: jax.Array,
+    spec: SceneSpec,
+    image: jax.Array,
+    prior: PriorSpec,
+    kmax: int,
+    cfg: SMCConfig,
+) -> SMCState:
+    """Draw P particles from the prior at beta = 0."""
+    k_theta, k_n, k_run = jax.random.split(key, 3)
+    p = cfg.n_particles
+    thetas = jax.vmap(lambda k: sample_prior(k, kmax, prior))(
+        jax.random.split(k_theta, p)
+    )
+    if cfg.n_transdim_sweeps > 0:
+        # n ~ Poisson(Lambda) truncated to [0, kmax]; first-n slots alive
+        # (slot assignments are exchangeable under the 1/C(K,n) target).
+        ks = jnp.arange(kmax + 1, dtype=jnp.float32)
+        logpmf = ks * jnp.log(cfg.transdim.lam_count) - jax.scipy.special.gammaln(ks + 1.0)
+        n_draw = jax.random.categorical(k_n, logpmf, shape=(p,))
+        masks = (jnp.arange(kmax)[None, :] < n_draw[:, None]).astype(jnp.float32)
+    else:
+        masks = jnp.ones((p, kmax), jnp.float32)
+    loglik = jax.vmap(lambda t, m: log_likelihood(t, m, spec, image))(thetas, masks)
+    return SMCState(
+        key=k_run,
+        theta=thetas,
+        mask=masks,
+        loglik=loglik,
+        beta=jnp.asarray(0.0, jnp.float32),
+        log_z=jnp.asarray(0.0, jnp.float32),
+        eps=jnp.asarray(cfg.step_size0, jnp.float32),
+        n_steps=jnp.asarray(0, jnp.int32),
+        mean_accept=jnp.asarray(0.0, jnp.float32),
+    )
+
+
+def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCConfig):
+    """One temperature step: reweight -> resample -> mutate.  jit-able."""
+    tempered_pg = make_tempered_potential_and_grad(spec, image, prior)
+    metric = make_metric_fn(spec, prior)
+    llf = lambda th, m: log_likelihood(th, m, spec, image)
+    p = cfg.n_particles
+
+    def step(s: SMCState) -> SMCState:
+        key, k_res, k_mut, k_td = jax.random.split(s.key, 4)
+
+        # 1-2. adaptive tempering + reweight (weights are equal post-resample)
+        db = _next_dbeta(s.beta, s.loglik, cfg.ess_target_frac * p)
+        beta = s.beta + db
+        logw = db * s.loglik
+        log_z = s.log_z + jax.nn.logsumexp(logw) - jnp.log(float(p))
+
+        # 3. systematic resampling (identical plan on every device)
+        idx = systematic_resample(k_res, logw)
+        theta = s.theta[idx]
+        mask = s.mask[idx]
+        loglik = s.loglik[idx]
+
+        # 4a. trans-dimensional sweeps at temperature beta
+        if cfg.n_transdim_sweeps > 0:
+            tllf = lambda th, m: beta * llf(th, m)
+            tll = beta * loglik
+
+            def td_sweep(carry, k_step):
+                th, m, l = carry
+                keys = jax.random.split(k_step, p)
+                th, m, l, _ = jax.vmap(
+                    lambda kk, t, mm, ll: transdim_sweep(
+                        kk, t, mm, ll, tllf, prior, spec, cfg.transdim
+                    )
+                )(keys, th, m, l)
+                return (th, m, l), None
+
+            (theta, mask, tll), _ = jax.lax.scan(
+                td_sweep, (theta, mask, tll),
+                jax.random.split(k_td, cfg.n_transdim_sweeps),
+            )
+
+        # 4b. within-model mutation at temperature beta
+        pfn = lambda th, m: tempered_pg(th, m, beta)[0]
+        gfn = lambda th, m: tempered_pg(th, m, beta)
+        metric_b = lambda th, m: metric(th, m, beta)
+
+        u0, g0 = jax.vmap(gfn)(theta, mask)
+        states = ChainState(theta, u0, g0, jax.random.split(k_mut, p))
+
+        if cfg.mutation == "rhmc":
+            ham, dhdt, dhdp = make_rhmc_functions(pfn, metric_b)
+
+            def one(st, m):
+                return rhmc_step(
+                    st, pfn, metric_b, ham, dhdt, dhdp, s.eps,
+                    cfg.n_leapfrog, cfg.fixed_point_iters, m,
+                    cfg.divergence_threshold,
+                )
+        else:
+
+            def one(st, m):
+                return hmc_step(
+                    st, lambda th: gfn(th, m), s.eps,
+                    jnp.ones_like(st.theta), cfg.n_leapfrog, m,
+                    cfg.divergence_threshold,
+                )
+
+        def mut_step(sts, _):
+            sts, info = jax.vmap(one)(sts, mask)
+            return sts, info.accept_prob
+
+        states, aprobs = jax.lax.scan(mut_step, states, None,
+                                      length=cfg.n_mutation_steps)
+        mean_accept = jnp.mean(aprobs)
+        theta = states.theta
+
+        # Robbins-Monro step-size controller toward target acceptance
+        eps = s.eps * jnp.exp(0.3 * (mean_accept - cfg.target_accept))
+        eps = jnp.clip(eps, 1e-5, 10.0)
+
+        loglik = jax.vmap(llf)(theta, mask)
+        return SMCState(
+            key=key, theta=theta, mask=mask, loglik=loglik, beta=beta,
+            log_z=log_z, eps=eps, n_steps=s.n_steps + 1, mean_accept=mean_accept,
+        )
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("spec", "cfg"))
+def smc_tempering(
+    s0: SMCState,
+    spec: SceneSpec,
+    image: jax.Array,
+    prior: PriorSpec,
+    cfg: SMCConfig,
+) -> SMCResult:
+    """Run the tempering loop beta: 0 -> 1 from an initial state.
+
+    If s0's particle arrays carry a NamedSharding (dist.shard_chains), GSPMD
+    propagates it through the while loop: reductions become psums and the
+    resampling gather becomes a cross-device collective — same program,
+    1 chip to N hosts (SURVEY.md §5.8).
+    """
+    step = make_smc_step(spec, image, prior, cfg)
+
+    def cond(s):
+        return (s.beta < 1.0) & (s.n_steps < cfg.max_steps)
+
+    s = jax.lax.while_loop(cond, step, s0)
+    return SMCResult(s.theta, s.mask, s.loglik, s.log_z, s.n_steps, s.eps, s.mean_accept)
+
+
+def run_smc(
+    key: jax.Array,
+    spec: SceneSpec,
+    image: jax.Array,
+    prior: PriorSpec,
+    kmax: int,
+    cfg: SMCConfig,
+    mesh=None,
+) -> SMCResult:
+    """Full SMC pass (SURVEY.md §3.4).  Pass a dist.make_mesh() to shard the
+    particle axis over devices (config 4)."""
+    s0 = init_smc(key, spec, image, prior, kmax, cfg)
+    if mesh is not None:
+        from .dist import shard_chains
+
+        s0 = s0._replace(
+            theta=shard_chains(s0.theta, mesh),
+            mask=shard_chains(s0.mask, mesh),
+            loglik=shard_chains(s0.loglik, mesh),
+        )
+    return smc_tempering(s0, spec, image, prior, cfg)

@@ -1,0 +1,135 @@
+"""SMC tests (SURVEY.md §4.2): resampler unbiasedness, adaptive tempering,
+posterior agreement with HMC on the single-star scene, trans-d SMC star
+count recovery, and the sharded-vs-single-device invariance test."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import starcat
+from starcat import diagnostics
+from starcat.hmc import HMCConfig, run_hmc
+from starcat.potential import PriorSpec, unconstrain
+from starcat.scene import SceneSpec, make_mock_image
+from starcat.smc import (
+    SMCConfig,
+    ess_from_logw,
+    run_smc,
+    systematic_resample,
+)
+from starcat.transdim import TransDimConfig
+
+
+def test_systematic_resample_unbiased():
+    """E[count of particle i] = P * w_i, and variance < multinomial."""
+    logw = jnp.log(jnp.array([0.1, 0.4, 0.2, 0.05, 0.25]))
+    n = logw.shape[0]
+    counts = np.zeros(n)
+    trials = 3000
+    keys = jax.random.split(jax.random.key(0), trials)
+    idxs = jax.vmap(lambda k: systematic_resample(k, logw))(keys)
+    idxs = np.asarray(idxs)
+    for i in range(n):
+        counts[i] = (idxs == i).mean() * n
+    w = np.exp(np.asarray(logw))
+    np.testing.assert_allclose(counts, n * w, atol=0.05)
+    # systematic: per-trial counts deviate < 1 from n*w
+    per_trial = np.stack([(idxs == i).sum(1) for i in range(n)], 1)
+    assert np.abs(per_trial - n * w).max() <= 1.0 + 1e-6
+
+
+def test_ess_formula():
+    logw = jnp.zeros(100)
+    assert np.isclose(float(ess_from_logw(logw)), 100.0, rtol=1e-5)
+    logw = jnp.array([0.0, -jnp.inf, -jnp.inf])
+    assert np.isclose(float(ess_from_logw(logw)), 1.0, rtol=1e-5)
+
+
+def _single_star_setup():
+    spec = SceneSpec(16, 16, 1.5, 5.0)
+    prior = PriorSpec(5.0, 1.0)
+    x, y, f = jnp.array([8.3]), jnp.array([7.6]), jnp.array([300.0])
+    img = make_mock_image(jax.random.key(7), x, y, f, spec)
+    return spec, prior, img, (x, y, f)
+
+
+@pytest.mark.slow
+def test_smc_matches_hmc_single_star():
+    """Config-3-style fixed-K SMC vs the HMC head: same posterior."""
+    spec, prior, img, (x, y, f) = _single_star_setup()
+    cfg = SMCConfig(
+        n_particles=512, mutation="hmc", n_mutation_steps=4, n_leapfrog=10,
+        step_size0=0.1,
+    )
+    res = run_smc(jax.random.key(1), spec, img, prior, 1, cfg)
+    assert float(res.beta) if hasattr(res, "beta") else True
+    assert int(res.n_steps) < cfg.max_steps
+    d = np.asarray(res.theta)[:, 0, :]  # (P, 3) final equal-weight particles
+
+    pg = starcat.make_potential_and_grad(spec, img, prior)
+    gf = lambda th: pg(th, jnp.ones(1))
+    theta0 = unconstrain(x, y, f, spec)[None] + 0.01 * jax.random.normal(
+        jax.random.key(3), (16, 1, 3)
+    )
+    res_h, _ = run_hmc(
+        jax.random.key(4), gf, theta0, jnp.ones(1), 800, 500,
+        HMCConfig(step_size=0.05, n_leapfrog=15),
+    )
+    dh = np.asarray(res_h.thetas)[:, :, 0, :]
+    # SMC particles are weakly correlated; treat as one chain with ESS ~ P/2
+    for j, nm in enumerate(["ux", "uy", "s"]):
+        mu_s, sd_s = d[:, j].mean(), d[:, j].std()
+        s_h = diagnostics.summarize(dh[:, :, j])
+        se = np.sqrt(sd_s**2 / (d.shape[0] / 4) + s_h["mcse"] ** 2)
+        z = abs(mu_s - s_h["mean"]) / se
+        assert z < 4.5, (nm, mu_s, s_h["mean"], z)
+        assert abs(sd_s - s_h["sd"]) / s_h["sd"] < 0.25, (nm, sd_s, s_h["sd"])
+
+
+@pytest.mark.slow
+def test_transdim_smc_recovers_star_count():
+    """Config 3 (small): 2 bright stars, trans-d SMC concentrates n near 2."""
+    spec = SceneSpec(16, 16, 1.5, 3.0)
+    prior = PriorSpec(5.5, 0.5)
+    x = jnp.array([5.0, 11.0])
+    y = jnp.array([6.0, 10.0])
+    f = jnp.array([400.0, 250.0])
+    img = make_mock_image(jax.random.key(0), x, y, f, spec)
+    cfg = SMCConfig(
+        n_particles=512, mutation="hmc", n_mutation_steps=3, n_leapfrog=8,
+        n_transdim_sweeps=2, step_size0=0.05,
+        transdim=TransDimConfig(lam_count=2.0, split_sigma=1.0),
+    )
+    res = run_smc(jax.random.key(2), spec, img, prior, 6, cfg)
+    ns = np.asarray(res.mask).sum(-1)
+    # posterior on n should concentrate on >= 2 (two clearly-resolved stars),
+    # and rarely overshoot wildly
+    assert (ns >= 2).mean() > 0.9, ns.mean()
+    assert ns.mean() < 3.5
+    # total flux about right
+    tot = np.asarray(jax.vmap(lambda t, m: (jnp.exp(t[:, 2]) * m).sum())(
+        jnp.asarray(res.theta), jnp.asarray(res.mask)))
+    assert abs(np.median(tot) - 650.0) / 650.0 < 0.2
+
+
+def test_smc_sharded_matches_single_device():
+    """SURVEY.md §4.2 distributed test: the same SMC program on a sharded
+    8-device particle axis gives the same moments (same seeds => nearly
+    identical draws; collectives only reorder reductions)."""
+    spec, prior, img, _ = _single_star_setup()
+    cfg = SMCConfig(n_particles=256, mutation="hmc", n_mutation_steps=2, n_leapfrog=5)
+
+    res1 = run_smc(jax.random.key(5), spec, img, prior, 1, cfg)
+
+    from starcat.dist import make_mesh
+
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    mesh = make_mesh("chains")
+    res2 = run_smc(jax.random.key(5), spec, img, prior, 1, cfg, mesh=mesh)
+    # the sharded run actually splits the particle axis over 8 devices
+    assert len(res2.theta.sharding.device_set) == 8
+    # deterministic program, same key: identical modulo reduction order
+    np.testing.assert_allclose(
+        np.asarray(res1.theta).mean(0), np.asarray(res2.theta).mean(0), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(float(res1.log_z), float(res2.log_z), rtol=1e-3)
