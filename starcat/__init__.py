@@ -16,7 +16,17 @@ from .potential import (  # noqa: F401
     log_likelihood,
     make_potential,
     make_potential_and_grad,
+    make_tempered_potential_and_grad,
     sample_prior,
 )
+from .hmc import HMCConfig, run_hmc  # noqa: F401
+from .nuts import NUTSConfig, run_nuts  # noqa: F401
+from .rhmc import RHMCConfig, run_rhmc  # noqa: F401
+from .smc import SMCConfig, run_smc  # noqa: F401
+from .advi import ADVIConfig, fit_advi  # noqa: F401
+from .metric import make_metric_fn  # noqa: F401
+from .transdim import TransDimConfig  # noqa: F401
+from .configs import CONFIGS, RunConfig, apply_overrides  # noqa: F401
+from .api import sample, summarize_output  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,143 @@
+"""High-level API (SURVEY.md §1.2 "API / drivers"): one entry point that
+builds the scene/potential and dispatches to any head by name — the
+`sample(cfg)` surface of the target design (SURVEY.md §3.3).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import diagnostics
+from .advi import ADVIConfig, fit_advi
+from .configs import RunConfig
+from .hmc import run_hmc
+from .metric import make_metric_fn
+from .nuts import run_nuts
+from .potential import (
+    constrain,
+    make_potential,
+    make_potential_and_grad,
+    sample_prior,
+)
+from .rhmc import run_rhmc
+from .smc import run_smc
+
+
+@dataclass
+class SampleOutput:
+    config: RunConfig
+    thetas: np.ndarray          # (C, N, K, 3) draws (or (P, 1, K, 3) for SMC/ADVI)
+    masks: np.ndarray           # (K,) or per-particle (P, K)
+    stats: dict[str, Any] = field(default_factory=dict)
+
+
+def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None) -> SampleOutput:
+    """Run the configured head on the config's mock scene (or a given image)."""
+    truth_theta, mock_img = cfg.make_data()
+    img = mock_img if image is None else jnp.asarray(image)
+    spec, prior = cfg.scene, cfg.prior
+    mask = jnp.ones(cfg.kmax)
+    key = jax.random.key(seed)
+
+    pg = make_potential_and_grad(spec, img, prior)
+    grad_fn = lambda th: pg(th, mask)
+
+    t_start = time.perf_counter()
+    stats: dict[str, Any] = {}
+
+    if cfg.head in ("hmc", "oracle"):
+        theta0 = _init_chains(key, cfg, truth_theta)
+        res, wr = run_hmc(
+            jax.random.fold_in(key, 1), grad_fn, theta0, mask,
+            cfg.n_samples, cfg.n_warmup, cfg.hmc,
+        )
+        thetas = np.asarray(res.thetas)
+        stats.update(step_size=float(wr.step_size),
+                     accept=float(np.asarray(res.accept_prob).mean()),
+                     divergences=int(np.asarray(res.diverged).sum()))
+        masks = np.asarray(mask)
+    elif cfg.head == "nuts":
+        theta0 = _init_chains(key, cfg, truth_theta)
+        res, wr = run_nuts(
+            jax.random.fold_in(key, 1), grad_fn, theta0, mask,
+            cfg.n_samples, cfg.n_warmup, cfg.nuts,
+        )
+        thetas = np.asarray(res.thetas)
+        stats.update(step_size=float(wr.step_size),
+                     accept=float(np.asarray(res.accept_prob).mean()),
+                     divergences=int(np.asarray(res.diverged).sum()))
+        masks = np.asarray(mask)
+    elif cfg.head == "rhmc":
+        theta0 = _init_chains(key, cfg, truth_theta)
+        pfn = make_potential(spec, img, prior)
+        metric = make_metric_fn(spec, prior)
+        res, wr = run_rhmc(
+            jax.random.fold_in(key, 1), pfn, metric, grad_fn, theta0, mask,
+            cfg.n_samples, cfg.n_warmup, cfg.rhmc,
+        )
+        thetas = np.asarray(res.thetas)
+        stats.update(step_size=float(wr.step_size),
+                     accept=float(np.asarray(res.accept_prob).mean()),
+                     divergences=int(np.asarray(res.diverged).sum()))
+        masks = np.asarray(mask)
+    elif cfg.head == "smc":
+        res = run_smc(
+            jax.random.fold_in(key, 1), spec, img, prior, cfg.kmax, cfg.smc,
+            mesh=mesh,
+        )
+        thetas = np.asarray(res.theta)[:, None, :, :]
+        masks = np.asarray(res.mask)
+        stats.update(log_z=float(res.log_z), n_temp_steps=int(res.n_steps),
+                     accept=float(res.mean_accept), step_size=float(res.eps))
+    elif cfg.head == "advi":
+        mu0 = sample_prior(jax.random.fold_in(key, 2), cfg.kmax, prior)
+        res = fit_advi(jax.random.fold_in(key, 1), grad_fn, mu0, mask, ADVIConfig())
+        from .advi import advi_sample
+
+        draws = advi_sample(jax.random.fold_in(key, 3), res, mask, 1000)
+        thetas = np.asarray(draws)[:, None, :, :]
+        masks = np.asarray(mask)
+        stats.update(elbo=float(np.asarray(res.elbo_trace)[-50:].mean()))
+    else:
+        raise ValueError(f"unknown head {cfg.head!r}")
+
+    jax.block_until_ready(jnp.zeros(()))
+    stats["wall_seconds"] = time.perf_counter() - t_start
+    stats["truth"] = {
+        k: np.asarray(v)
+        for k, v in zip("xyf", constrain(truth_theta, spec))
+    }
+    return SampleOutput(cfg, thetas, masks, stats)
+
+
+def _init_chains(key: jax.Array, cfg: RunConfig, truth_theta: jax.Array) -> jax.Array:
+    """Chains initialized near the truth with small jitter (mock-data runs)."""
+    jit = 0.01 * jax.random.normal(
+        jax.random.fold_in(key, 7), (cfg.n_chains,) + truth_theta.shape
+    )
+    return truth_theta[None] + jit
+
+
+def summarize_output(out: SampleOutput) -> dict[str, Any]:
+    """Permutation-safe posterior summaries (SURVEY.md ⑱): total flux and
+    per-slot moments for fixed-K runs."""
+    th = out.thetas  # (C, N, K, 3)
+    mask = out.masks
+    if mask.ndim == 1:
+        alive = mask[None, None, :]
+    else:  # per-particle (SMC)
+        alive = mask[:, None, :]
+    tot_flux = (np.exp(th[..., 2]) * alive).sum(-1)  # (C, N)
+    summ = {"total_flux": diagnostics.summarize(tot_flux)}
+    if mask.ndim == 1 and th.shape[2] == 1:
+        w = out.config.scene.width
+        h = out.config.scene.height
+        summ["x"] = diagnostics.summarize(w / (1 + np.exp(-th[:, :, 0, 0])))
+        summ["y"] = diagnostics.summarize(h / (1 + np.exp(-th[:, :, 0, 1])))
+        summ["flux"] = diagnostics.summarize(np.exp(th[:, :, 0, 2]))
+    return summ

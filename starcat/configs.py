@@ -1,0 +1,157 @@
+"""Typed configs + the five canonical presets (SURVEY.md ⑳, §5.6;
+BASELINE.json:6-12).
+
+Each preset bundles a scene, priors, a mock-truth recipe and a sampler
+head.  Overrides are simple key=value strings on the CLI (`__main__.py`)
+— no heavyweight flag framework (SURVEY.md §5.6).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .hmc import HMCConfig
+from .nuts import NUTSConfig
+from .potential import PriorSpec, constrain, sample_prior
+from .rhmc import RHMCConfig
+from .scene import SceneSpec, make_mock_image
+from .smc import SMCConfig
+from .transdim import TransDimConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    name: str
+    scene: SceneSpec
+    prior: PriorSpec
+    n_stars: int            # true star count of the mock scene
+    kmax: int               # catalog capacity (== n_stars for fixed-K heads)
+    head: str               # "hmc" | "rhmc" | "nuts" | "smc" | "advi" | "oracle"
+    n_chains: int = 64
+    n_samples: int = 1000
+    n_warmup: int = 500
+    truth_seed: int = 11
+    data_seed: int = 12
+    hmc: HMCConfig = HMCConfig()
+    nuts: NUTSConfig = NUTSConfig()
+    rhmc: RHMCConfig = RHMCConfig()
+    smc: SMCConfig = SMCConfig()
+    notes: str = ""
+
+    def make_truth(self):
+        """Deterministic mock truth: params drawn from the prior."""
+        theta = sample_prior(jax.random.key(self.truth_seed), self.n_stars, self.prior)
+        return theta
+
+    def make_data(self):
+        """(truth_theta, image) for this config's mock scene."""
+        theta = self.make_truth()
+        x, y, f = constrain(theta, self.scene)
+        img = make_mock_image(jax.random.key(self.data_seed), x, y, f, self.scene)
+        return theta, img
+
+
+# ---------------------------------------------------------------------------
+# The five canonical presets (BASELINE.json:7-11)
+# ---------------------------------------------------------------------------
+
+CONFIGS: dict[str, RunConfig] = {}
+
+
+def _register(cfg: RunConfig) -> RunConfig:
+    CONFIGS[cfg.name] = cfg
+    return cfg
+
+
+# config 0: "single star, fixed PSF, 2D position+flux posterior via plain
+# HMC, 4 chains on CPU (reference NumPy sampler)"
+cfg0_single_star = _register(RunConfig(
+    name="cfg0_single_star",
+    scene=SceneSpec(16, 16, 1.5, 5.0),
+    prior=PriorSpec(5.0, 1.0),
+    n_stars=1, kmax=1,
+    head="oracle",
+    n_chains=4, n_samples=2000, n_warmup=500,
+    hmc=HMCConfig(step_size=0.05, n_leapfrog=15),
+    notes="NumPy oracle; the validation golden target (BASELINE.json:7)",
+))
+
+# config 1: "10-star 32x32 scene, RHMC with Riemannian mass matrix, 64 chains"
+cfg1_rhmc = _register(RunConfig(
+    name="cfg1_rhmc",
+    scene=SceneSpec(32, 32, 1.5, 10.0),
+    prior=PriorSpec(5.0, 0.7),
+    n_stars=10, kmax=10,
+    head="rhmc",
+    n_chains=64, n_samples=1000, n_warmup=400,
+    rhmc=RHMCConfig(step_size=0.3, n_leapfrog=8, fixed_point_iters=6),
+))
+
+# config 2: "10-star scene, NUTS with dual-averaging step-size adaptation,
+# 1024 vmapped chains on 1 chip"
+cfg2_nuts = _register(RunConfig(
+    name="cfg2_nuts",
+    scene=SceneSpec(32, 32, 1.5, 10.0),
+    prior=PriorSpec(5.0, 0.7),
+    n_stars=10, kmax=10,
+    head="nuts",
+    n_chains=1024, n_samples=1000, n_warmup=500,
+    nuts=NUTSConfig(step_size=0.05, max_depth=8),
+))
+
+# config 3: "trans-dimensional cataloging: birth/death/split-merge moves +
+# RHMC within SMC, 4096 particles sharded across 1 host"
+cfg3_transdim_smc = _register(RunConfig(
+    name="cfg3_transdim_smc",
+    scene=SceneSpec(32, 32, 1.5, 10.0),
+    prior=PriorSpec(5.0, 0.7),
+    n_stars=10, kmax=16,
+    head="smc",
+    smc=SMCConfig(
+        n_particles=4096, mutation="rhmc", n_mutation_steps=2, n_leapfrog=6,
+        fixed_point_iters=4, n_transdim_sweeps=2, step_size0=0.3,
+        transdim=TransDimConfig(lam_count=8.0, split_sigma=1.0),
+    ),
+))
+
+# config 4: "50-star 128x128 crowded-field scene, SMC+RHMC across N>=2 hosts
+# with collective resampling (stretch)"
+cfg4_crowded = _register(RunConfig(
+    name="cfg4_crowded",
+    scene=SceneSpec(128, 128, 1.5, 20.0),
+    prior=PriorSpec(5.0, 0.7),
+    n_stars=50, kmax=64,
+    head="smc",
+    smc=SMCConfig(
+        n_particles=4096, mutation="rhmc", n_mutation_steps=2, n_leapfrog=6,
+        fixed_point_iters=4, n_transdim_sweeps=2, step_size0=0.2,
+        transdim=TransDimConfig(lam_count=40.0, split_sigma=1.0),
+    ),
+    notes="stretch config; shard particles over all hosts (SURVEY.md §3.4)",
+))
+
+
+def _coerce(cur: Any, val: Any) -> Any:
+    """Cast a CLI string to the type of the current value."""
+    if isinstance(cur, bool):
+        return str(val).lower() in ("1", "true", "yes")
+    return type(cur)(val) if cur is not None else val
+
+
+def apply_overrides(cfg: RunConfig, overrides: dict[str, Any]) -> RunConfig:
+    """key=value overrides; one dotted level reaches nested configs
+    (e.g. smc.n_particles=1024, scene.psf_sigma=2.0)."""
+    updates: dict[str, Any] = {}
+    for key, val in overrides.items():
+        if "." in key:
+            base, field = key.split(".", 1)
+            sub = updates.get(base, getattr(cfg, base))
+            if isinstance(sub, tuple) and hasattr(sub, "_replace"):  # NamedTuple
+                sub = sub._replace(**{field: _coerce(getattr(sub, field), val)})
+            updates[base] = sub
+        else:
+            updates[key] = _coerce(getattr(cfg, key), val)
+    return dataclasses.replace(cfg, **updates)
