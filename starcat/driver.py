@@ -44,6 +44,15 @@ def init_chain_states(key: jax.Array, theta0: jax.Array, grad_fn: Callable) -> C
     return jax.vmap(one)(keys, theta0)
 
 
+def _batched(kernel: Callable) -> Callable:
+    """Kernels are single-chain by default and vmapped over the chain axis;
+    a kernel marked ``is_batched`` (e.g. the Pallas fused-leapfrog HMC
+    kernel, which tiles chains onto the VPU lanes itself) is used as-is."""
+    if getattr(kernel, "is_batched", False):
+        return kernel
+    return jax.vmap(kernel, in_axes=(0, None, None))
+
+
 class WarmupResult(NamedTuple):
     states: ChainState
     step_size: jax.Array
@@ -64,7 +73,7 @@ def warmup(
     n3 = max(n_warmup * 25 // 100, 1)
     n2 = max(n_warmup - n1 - n3, 1)
     param_shape = states.theta.shape[1:]
-    batch_kernel = jax.vmap(kernel, in_axes=(0, None, None))
+    batch_kernel = _batched(kernel)
 
     def make_phase(accumulate: bool, n_steps: int):
         def body(carry, _):
@@ -113,7 +122,7 @@ def sample(
     inv_mass: jax.Array,
 ) -> SampleResult:
     """Post-warmup sampling at fixed eps/mass; draws collected on-device."""
-    batch_kernel = jax.vmap(kernel, in_axes=(0, None, None))
+    batch_kernel = _batched(kernel)
 
     def body(st, _):
         st, info = batch_kernel(st, step_size, inv_mass)

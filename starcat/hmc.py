@@ -94,6 +94,64 @@ def make_hmc_kernel(grad_fn: Callable, mask: jax.Array, config: HMCConfig = HMCC
     return kernel
 
 
+def make_pallas_hmc_kernel(
+    spec,
+    image,
+    prior,
+    mask: jax.Array,
+    config: HMCConfig = HMCConfig(),
+    interpret: bool = False,
+):
+    """Batched HMC kernel on the fused Pallas leapfrog (SURVEY.md ⑮).
+
+    The whole L-step trajectory for every chain runs inside one Pallas
+    kernel (VMEM-resident scene math; ~3x the XLA path's grad-eval
+    throughput at equal f32 accuracy on a v5e chip); momentum refresh and
+    MH accept stay in XLA.  n_chains must be a multiple of 128.
+    """
+    from .pallas_kernels import make_pallas_leapfrog
+
+    kmax = int(mask.shape[0])
+    fused = make_pallas_leapfrog(
+        spec, image, prior, kmax, config.n_leapfrog, interpret=interpret
+    )
+    mask3 = mask[..., None]
+
+    def kernel(states: ChainState, eps, inv_mass):
+        n_chains = states.theta.shape[0]
+        keys = jax.vmap(lambda k: jax.random.split(k, 4))(states.key)
+        key, k_mom, k_acc, k_jit = keys[:, 0], keys[:, 1], keys[:, 2], keys[:, 3]
+
+        eps_c = eps * (0.8 + 0.4 * jax.vmap(jax.random.uniform)(k_jit))  # (C,)
+
+        p0 = jax.vmap(
+            lambda k, t: jax.random.normal(k, t.shape, t.dtype)
+        )(k_mom, states.theta)
+        p0 = p0 / jnp.sqrt(inv_mass) * mask3
+        h0 = states.u + 0.5 * jnp.sum(inv_mass * p0 * p0, axis=(1, 2))
+
+        theta_new, p_new, u_new, grad_new = fused(
+            states.theta, p0, eps_c, inv_mass, mask
+        )
+        h1 = u_new + 0.5 * jnp.sum(inv_mass * p_new * p_new, axis=(1, 2))
+        energy_error = jnp.where(jnp.isfinite(h1 - h0), h1 - h0, jnp.inf)
+        accept_prob = jnp.exp(jnp.minimum(0.0, -energy_error))
+        diverged = energy_error > config.divergence_threshold
+
+        accept = jax.vmap(jax.random.uniform)(k_acc) < accept_prob
+        acc3 = accept[:, None, None]
+        theta = jnp.where(acc3, theta_new, states.theta)
+        u = jnp.where(accept, u_new, states.u)
+        grad = jnp.where(acc3, grad_new, states.grad)
+
+        return ChainState(theta, u, grad, key), StepInfo(
+            accept_prob, accept, diverged, energy_error
+        )
+
+    kernel.is_batched = True
+    return kernel
+
+
 def run_hmc(
     key: jax.Array,
     grad_fn: Callable,
@@ -106,6 +164,32 @@ def run_hmc(
 ):
     """Convenience driver: init -> warmup -> sample (SURVEY.md §3.3)."""
     kernel = make_hmc_kernel(grad_fn, mask, config)
+    return run_mcmc(
+        key, kernel, grad_fn, theta0, n_samples, n_warmup,
+        step_size=config.step_size, target_accept=config.target_accept,
+        adapt_mass=adapt_mass,
+    )
+
+
+def run_hmc_pallas(
+    key: jax.Array,
+    spec,
+    image,
+    prior,
+    theta0: jax.Array,  # (n_chains, K, 3); n_chains % 128 == 0
+    mask: jax.Array,
+    n_samples: int,
+    n_warmup: int,
+    config: HMCConfig = HMCConfig(),
+    adapt_mass: bool = True,
+    interpret: bool = False,
+):
+    """run_hmc on the fused Pallas trajectory kernel (performance path)."""
+    from .potential import make_potential_and_grad
+
+    pg = make_potential_and_grad(spec, image, prior)
+    grad_fn = lambda th: pg(th, mask)
+    kernel = make_pallas_hmc_kernel(spec, image, prior, mask, config, interpret)
     return run_mcmc(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,

@@ -43,7 +43,7 @@ def scene_jacobian(theta: jax.Array, mask: jax.Array, spec: SceneSpec):
     dgx = gaussian_profile_1d_grad(x, cx, spec.psf_sigma)  # d gx / d x
     dgy = gaussian_profile_1d_grad(y, cy, spec.psf_sigma)
     w = f * mask
-    lam = spec.background + jnp.einsum("kh,kw->hw", gy * w[:, None], gx)
+    lam = spec.background + jnp.einsum("kh,kw->hw", gy * w[:, None], gx, precision="highest")
 
     sx = jax.nn.sigmoid(theta[..., 0])
     sy = jax.nn.sigmoid(theta[..., 1])
@@ -79,7 +79,7 @@ def make_metric_fn(spec: SceneSpec, prior: PriorSpec, jitter: float = 1e-3):
         d = 3 * k
         lam, j = scene_jacobian(theta, mask, spec)
         jf = j.reshape(d, -1)                          # (3K, P)
-        fisher = (jf / lam.reshape(-1)) @ jf.T         # (3K, 3K) matmul
+        fisher = jnp.einsum("ap,bp->ab", jf / lam.reshape(-1), jf, precision="highest")         # (3K, 3K) matmul
         info = prior_information(theta, mask, prior).reshape(d)
         mask_p = jnp.repeat(mask, 3)                   # per-param alive mask
         g = beta * fisher + jnp.diag(info)

@@ -132,7 +132,7 @@ def _profiles_and_lam(theta: jax.Array, mask: jax.Array, spec: SceneSpec, image:
     gx = gaussian_profile_1d(x, cx, spec.psf_sigma)  # (K, W)
     gy = gaussian_profile_1d(y, cy, spec.psf_sigma)  # (K, H)
     w = f * mask
-    lam = spec.background + jnp.einsum("kh,kw->hw", gy * w[:, None], gx)
+    lam = spec.background + jnp.einsum("kh,kw->hw", gy * w[:, None], gx, precision="highest")
     return x, y, f, gx, gy, w, lam
 
 
@@ -188,14 +188,14 @@ def make_potential_and_grad(spec: SceneSpec, image: jax.Array, prior: PriorSpec)
         resid = image / lam - 1.0  # (H, W)
 
         # Contractions: M = R @ gx^T -> (H, K); likewise with d/dcenter profiles.
-        rgx = resid @ gx.T                    # (H, K)
-        d_flux = jnp.einsum("kh,hk->k", gy, rgx)            # gy_k^T R gx_k
+        rgx = jnp.einsum("hw,kw->hk", resid, gx, precision="highest")                    # (H, K)
+        d_flux = jnp.einsum("kh,hk->k", gy, rgx, precision="highest")            # gy_k^T R gx_k
         cx = pixel_centers(spec.width, theta.dtype)
         cy = pixel_centers(spec.height, theta.dtype)
         dgx = gx * (cx[None, :] - x[:, None]) / sig2        # (K, W)
         dgy = gy * (cy[None, :] - y[:, None]) / sig2        # (K, H)
-        d_x = jnp.einsum("kh,hk->k", gy, resid @ dgx.T) * w
-        d_y = jnp.einsum("kh,hk->k", dgy, rgx) * w
+        d_x = jnp.einsum("kh,hw,kw->k", gy, resid, dgx, precision="highest") * w
+        d_y = jnp.einsum("kh,hk->k", dgy, rgx, precision="highest") * w
 
         # Chain rule to unconstrained coords.
         sx = jax.nn.sigmoid(theta[..., 0])

@@ -97,7 +97,7 @@ def render_scene(
     gy, gx = render_profiles(x, y, spec)
     w = flux * mask  # (K,)
     # (H,K) @ (K,W) — MXU-friendly; XLA batches this under vmap over chains.
-    img = jnp.einsum("kh,kw->hw", gy * w[:, None], gx)
+    img = jnp.einsum("kh,kw->hw", gy * w[:, None], gx, precision="highest")
     return spec.background + img
 
 

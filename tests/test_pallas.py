@@ -1,0 +1,97 @@
+"""Pallas fused leapfrog tests (interpret mode on CPU; the compiled kernel
+is exercised on the real chip by bench.py and the TPU-marked test)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import starcat
+from starcat.configs import CONFIGS
+from starcat.integrators import leapfrog
+from starcat.pallas_kernels import make_pallas_leapfrog
+
+
+def _setup(C=128):
+    cfg = CONFIGS["cfg2_nuts"]
+    truth, img = cfg.make_data()
+    pg = starcat.make_potential_and_grad(cfg.scene, img, cfg.prior)
+    mask = jnp.ones(cfg.kmax)
+    grad_fn = lambda th: pg(th, mask)
+    theta = truth[None] + 0.02 * jax.random.normal(jax.random.key(0), (C,) + truth.shape)
+    p = jax.random.normal(jax.random.key(1), theta.shape)
+    return cfg, img, mask, grad_fn, theta, p
+
+
+def test_fused_leapfrog_matches_xla_path():
+    cfg, img, mask, grad_fn, theta, p = _setup()
+    L = 5
+    inv_mass = jnp.full((cfg.kmax, 3), 0.7)
+    fused = make_pallas_leapfrog(cfg.scene, img, cfg.prior, cfg.kmax, L, interpret=True)
+    th2, p2, u2, g2 = fused(theta, p, 0.002, inv_mass, mask)
+
+    us, gs = jax.vmap(grad_fn)(theta)
+    ref = jax.vmap(
+        lambda t, q, uu, gg: leapfrog(grad_fn, t, q, uu, gg, jnp.asarray(0.002), L, inv_mass)
+    )(theta, p, us, gs)
+    np.testing.assert_allclose(np.asarray(th2), np.asarray(ref.theta), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(ref.p), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(ref.u), atol=0.3)
+    rel = np.abs(np.asarray(g2) - np.asarray(ref.grad)) / (1.0 + np.abs(np.asarray(ref.grad)))
+    assert rel.max() < 5e-3, rel.max()
+
+
+def test_fused_leapfrog_per_chain_eps():
+    """Per-chain eps vector must match per-chain scalar runs."""
+    cfg, img, mask, grad_fn, theta, p = _setup()
+    inv_mass = jnp.ones((cfg.kmax, 3))
+    fused = make_pallas_leapfrog(cfg.scene, img, cfg.prior, cfg.kmax, 3, interpret=True)
+    eps_vec = jnp.full((128,), 0.001).at[0].set(0.004)
+    th_v, *_ = fused(theta, p, eps_vec, inv_mass, mask)
+    th_a, *_ = fused(theta, p, 0.004, inv_mass, mask)
+    th_b, *_ = fused(theta, p, 0.001, inv_mass, mask)
+    np.testing.assert_allclose(np.asarray(th_v)[0], np.asarray(th_a)[0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(th_v)[1:], np.asarray(th_b)[1:], atol=1e-6)
+
+
+def test_fused_leapfrog_mask_freezes():
+    cfg, img, mask, grad_fn, theta, p = _setup()
+    inv_mass = jnp.ones((cfg.kmax, 3))
+    mask2 = jnp.ones(cfg.kmax).at[3].set(0.0)
+    p = p * mask2[None, :, None]  # masked momenta, as the HMC kernel does
+    fused = make_pallas_leapfrog(cfg.scene, img, cfg.prior, cfg.kmax, 4, interpret=True)
+    th2, p2, u2, g2 = fused(theta, p, 0.002, inv_mass, mask2)
+    np.testing.assert_array_equal(np.asarray(th2)[:, 3, :], np.asarray(theta)[:, 3, :])
+    np.testing.assert_array_equal(np.asarray(g2)[:, 3, :], 0.0)
+
+
+def test_zero_steps_returns_potential():
+    cfg, img, mask, grad_fn, theta, p = _setup()
+    inv_mass = jnp.ones((cfg.kmax, 3))
+    fused = make_pallas_leapfrog(cfg.scene, img, cfg.prior, cfg.kmax, 0, interpret=True)
+    th2, p2, u2, g2 = fused(theta, p, 0.01, inv_mass, mask)
+    uref, gref = jax.vmap(grad_fn)(theta)
+    np.testing.assert_array_equal(np.asarray(th2), np.asarray(theta))
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(uref), atol=0.3)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(gref), rtol=1e-3, atol=2e-2)
+
+
+@pytest.mark.tpu
+def test_pallas_hmc_matches_hmc_tpu():
+    """Statistical agreement of the Pallas-HMC head with the XLA head; only
+    meaningful on a real chip (interpret mode is too slow for sampling)."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs TPU")
+    from starcat.hmc import HMCConfig, run_hmc, run_hmc_pallas
+    from starcat import diagnostics
+
+    cfg, img, mask, grad_fn, theta, p = _setup(C=128)
+    theta0 = theta
+    res_x, _ = run_hmc(jax.random.key(4), grad_fn, theta0, mask, 300, 300,
+                       HMCConfig(step_size=0.02, n_leapfrog=10))
+    res_p, _ = run_hmc_pallas(jax.random.key(5), cfg.scene, img, cfg.prior,
+                              theta0, mask, 300, 300,
+                              HMCConfig(step_size=0.02, n_leapfrog=10))
+    tot_x = np.exp(np.asarray(res_x.thetas)[..., 2]).sum(-1)
+    tot_p = np.exp(np.asarray(res_p.thetas)[..., 2]).sum(-1)
+    cmp = diagnostics.compare_moments(tot_p, tot_x, "total_flux")
+    assert cmp["z"] < 4.5, cmp
