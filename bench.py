@@ -143,6 +143,36 @@ def bench_numpy_baseline(n_evals: int = 300):
     return n_evals / dt
 
 
+def bench_ess_per_sec(n_chains: int = 256, n_samples: int = 200, n_warmup: int = 300):
+    """Secondary metric (BASELINE.json:2): ESS/sec on the 10-star 32x32
+    scene via the NUTS head (ESS of the permutation-invariant total flux,
+    pooled across chains, divided by post-warmup wall time)."""
+    import jax
+    import jax.numpy as jnp
+    import starcat
+    from starcat import diagnostics
+    from starcat.configs import CONFIGS
+    from starcat.driver import init_chain_states, sample as drv_sample, warmup
+    from starcat.nuts import NUTSConfig, make_nuts_kernel
+
+    cfg, truth, img, mask, theta0, p0, inv_mass = _bench_setup(n_chains)
+    pg = starcat.make_potential_and_grad(cfg.scene, img, cfg.prior)
+    grad_fn = lambda th: pg(th, mask)
+    kernel = make_nuts_kernel(grad_fn, mask, NUTSConfig(step_size=0.05, max_depth=8))
+    states = init_chain_states(jax.random.key(2), theta0, grad_fn)
+    wr = warmup(states, kernel, n_warmup, step_size=0.05)
+    # compile sampling before timing
+    r = drv_sample(wr.states, kernel, n_samples, wr.step_size, wr.inv_mass)
+    jax.block_until_ready(r.thetas)
+    t0 = time.perf_counter()
+    r = drv_sample(r.final_states, kernel, n_samples, wr.step_size, wr.inv_mass)
+    jax.block_until_ready(r.thetas)
+    dt = time.perf_counter() - t0
+    tot_flux = np.exp(np.asarray(r.thetas)[..., 2]).sum(-1)
+    ess = diagnostics.ess(tot_flux)
+    return ess / dt, ess, dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, default=1024)
@@ -157,11 +187,14 @@ def main():
 
     if args.full:
         xla_rate, _ = bench_xla_grad_evals(args.chains, args.leapfrog, args.scan, args.repeats)
+        ess_rate, ess, dt = bench_ess_per_sec()
         print(f"# pallas fused leapfrog: {rate:,.0f} grad-evals/s ({best * 1e3:.1f} ms best, "
               f"{args.chains} chains x {args.leapfrog} steps x {args.scan} scans)")
         print(f"# xla leapfrog (f32 'highest'): {xla_rate:,.0f} grad-evals/s "
               f"({rate / xla_rate:.2f}x pallas speedup)")
         print(f"# numpy oracle baseline: {np_rate:,.0f} grad-evals/s (single process)")
+        print(f"# NUTS ESS/sec (total flux, 10-star 32x32): {ess_rate:,.0f} "
+              f"(ESS {ess:,.0f} in {dt:.1f}s post-warmup)")
 
     print(json.dumps({
         "metric": "leapfrog_grad_evals_per_sec_per_chip",

@@ -36,8 +36,11 @@ class SampleOutput:
     stats: dict[str, Any] = field(default_factory=dict)
 
 
-def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None) -> SampleOutput:
-    """Run the configured head on the config's mock scene (or a given image)."""
+def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
+           metrics_path: str | None = None) -> SampleOutput:
+    """Run the configured head on the config's mock scene (or a given image).
+
+    metrics_path: optional JSONL sink for run metrics (SURVEY.md §5.5)."""
     truth_theta, mock_img = cfg.make_data()
     img = mock_img if image is None else jnp.asarray(image)
     spec, prior = cfg.scene, cfg.prior
@@ -108,6 +111,13 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None) -> SampleOutput
 
     jax.block_until_ready(jnp.zeros(()))
     stats["wall_seconds"] = time.perf_counter() - t_start
+    if metrics_path is not None:
+        from .metrics import MetricsLogger
+
+        log = MetricsLogger(metrics_path, cfg.name)
+        log.log("run_complete", head=cfg.head,
+                **{k: v for k, v in stats.items() if isinstance(v, (int, float))})
+        log.close()
     stats["truth"] = {
         k: np.asarray(v)
         for k, v in zip("xyf", constrain(truth_theta, spec))
