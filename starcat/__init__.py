@@ -24,6 +24,7 @@ from .nuts import NUTSConfig, run_nuts  # noqa: F401
 from .rhmc import RHMCConfig, run_rhmc  # noqa: F401
 from .smc import SMCConfig, run_smc  # noqa: F401
 from .advi import ADVIConfig, fit_advi  # noqa: F401
+from .chees import ChEESConfig, run_chees  # noqa: F401
 from .metric import make_metric_fn  # noqa: F401
 from .transdim import TransDimConfig  # noqa: F401
 from .configs import CONFIGS, RunConfig, apply_overrides  # noqa: F401

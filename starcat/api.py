@@ -88,6 +88,20 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
                      accept=float(np.asarray(res.accept_prob).mean()),
                      divergences=int(np.asarray(res.diverged).sum()))
         masks = np.asarray(mask)
+    elif cfg.head == "chees":
+        from .chees import ChEESConfig, run_chees
+
+        theta0 = _init_chains(key, cfg, truth_theta)
+        res, ad = run_chees(
+            jax.random.fold_in(key, 1), grad_fn, theta0, mask,
+            cfg.n_samples, cfg.n_warmup, ChEESConfig(),
+        )
+        thetas = np.asarray(res.thetas)
+        stats.update(step_size=float(ad["step_size"]),
+                     traj_length=float(ad["traj_length"]),
+                     accept=float(np.asarray(res.accept_prob).mean()),
+                     divergences=int(np.asarray(res.diverged).sum()))
+        masks = np.asarray(mask)
     elif cfg.head == "smc":
         res = run_smc(
             jax.random.fold_in(key, 1), spec, img, prior, cfg.kmax, cfg.smc,

@@ -72,7 +72,10 @@ def make_rhmc_functions(potential_fn: Callable, metric_fn: Callable):
         ginv_p = jax.scipy.linalg.cho_solve((chol, True), p)
         return potential_fn(theta, mask) + 0.5 * logdet + 0.5 * jnp.dot(p, ginv_p)
 
-    dham_dtheta = jax.grad(ham, argnums=0)
+    # remat: recompute the metric/Jacobian in the backward pass instead of
+    # storing the (3K, H*W)-sized residuals of every Picard sweep — without
+    # this, 4096-particle RHMC mutation (SMC config 3) OOM-crashes the chip.
+    dham_dtheta = jax.grad(jax.checkpoint(ham), argnums=0)
 
     def dham_dp(theta_flat, p, mask):
         theta = theta_flat.reshape(-1, 3)

@@ -56,6 +56,11 @@ class SMCConfig(NamedTuple):
     target_accept: float = 0.65
     divergence_threshold: float = 1000.0
     transdim: TransDimConfig = TransDimConfig()
+    # RHMC mutation is chunked over the particle axis (lax.map batch_size):
+    # a fully-vmapped metric build materializes (P, 3K, H*W) Jacobians per
+    # Picard sweep and crashes the chip at P=4096 (observed); 1024-particle
+    # chunks keep peak memory flat without measurable slowdown.
+    mutation_chunk: int = 1024
 
 
 class SMCState(NamedTuple):
@@ -225,8 +230,15 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
                     cfg.divergence_threshold,
                 )
 
+        chunk = min(cfg.mutation_chunk, p)
+
         def mut_step(sts, _):
-            sts, info = jax.vmap(one)(sts, mask)
+            if cfg.mutation == "rhmc" and chunk < p:
+                sts, info = jax.lax.map(
+                    lambda sm: one(sm[0], sm[1]), (sts, mask), batch_size=chunk
+                )
+            else:
+                sts, info = jax.vmap(one)(sts, mask)
             return sts, info.accept_prob
 
         states, aprobs = jax.lax.scan(mut_step, states, None,
