@@ -50,6 +50,24 @@ def cmd_run(args):
     print(json.dumps(record, default=float, indent=None))
 
 
+def cmd_report(args):
+    """Run a preset and write trace/corner/reconstruction PNGs (L0 layer)."""
+    import numpy as np
+
+    from .api import sample, summarize_output
+    from .configs import CONFIGS, apply_overrides
+    from .plots import save_report
+
+    cfg = apply_overrides(CONFIGS[args.config], _parse_overrides(args.overrides))
+    if cfg.head == "oracle":
+        cfg = apply_overrides(cfg, {"head": "hmc"})
+    _, img = cfg.make_data()
+    out = sample(cfg, seed=args.seed)
+    paths = save_report(out, np.asarray(img), args.out_prefix)
+    print(json.dumps({"config": cfg.name, "plots": paths,
+                      "summary": summarize_output(out)}, default=float))
+
+
 def cmd_validate(args):
     """Config-0 oracle validation (SURVEY.md §3.6)."""
     import jax
@@ -105,6 +123,13 @@ def main(argv=None):
     p_run.add_argument("--seed", type=int, default=0)
     p_run.add_argument("overrides", nargs="*", help="key=value overrides")
     p_run.set_defaults(fn=cmd_run)
+
+    p_rep = sub.add_parser("report", help="run a preset and save plots")
+    p_rep.add_argument("--config", required=True)
+    p_rep.add_argument("--seed", type=int, default=0)
+    p_rep.add_argument("--out-prefix", default="starcat_report")
+    p_rep.add_argument("overrides", nargs="*")
+    p_rep.set_defaults(fn=cmd_report)
 
     p_val = sub.add_parser("validate", help="oracle vs JAX validation")
     p_val.add_argument("--config", default="cfg0_single_star")
