@@ -58,11 +58,13 @@ def cmd_report(args):
     from .configs import CONFIGS, apply_overrides
     from .plots import save_report
 
+    if args.config not in CONFIGS:
+        raise SystemExit(f"unknown config {args.config!r}; try: {', '.join(CONFIGS)}")
     cfg = apply_overrides(CONFIGS[args.config], _parse_overrides(args.overrides))
     if cfg.head == "oracle":
         cfg = apply_overrides(cfg, {"head": "hmc"})
     _, img = cfg.make_data()
-    out = sample(cfg, seed=args.seed)
+    out = sample(cfg, seed=args.seed, image=img)
     paths = save_report(out, np.asarray(img), args.out_prefix)
     print(json.dumps({"config": cfg.name, "plots": paths,
                       "summary": summarize_output(out)}, default=float))

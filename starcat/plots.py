@@ -19,7 +19,7 @@ from .scene import SceneSpec, render_scene
 def _plt():
     import matplotlib
 
-    matplotlib.use("Agg")
+    matplotlib.use("Agg", force=False)
     import matplotlib.pyplot as plt
 
     return plt
@@ -44,11 +44,16 @@ def corner_plot(thetas: np.ndarray, spec: SceneSpec, truth=None):
 
     thetas: (C, N, 1, 3) unconstrained draws; truth: optional (x, y, f).
     """
+    import jax.numpy as jnp
+
     plt = _plt()
-    th = np.asarray(thetas).reshape(-1, 3)
-    x = spec.width / (1 + np.exp(-th[:, 0]))
-    y = spec.height / (1 + np.exp(-th[:, 1]))
-    f = np.exp(th[:, 2])
+    th = np.asarray(thetas)
+    if th.shape[-2] != 1:
+        raise ValueError(
+            f"corner_plot is for single-star runs; got K={th.shape[-2]} "
+            "(multi-star posteriors are exchangeable — use reconstruction_plot)"
+        )
+    x, y, f = (np.asarray(a) for a in constrain(jnp.asarray(th.reshape(-1, 3)), spec))
     cols = [x, y, f]
     names = ["x [px]", "y [px]", "flux"]
     fig, axes = plt.subplots(3, 3, figsize=(8, 8))
@@ -90,16 +95,14 @@ def reconstruction_plot(
 
     plt = _plt()
     th = np.asarray(thetas)
-    if th.ndim == 4:  # (C, N, K, 3) -> flatten draws
-        flat = th.reshape(-1, th.shape[-2], 3)
-        m = np.asarray(masks)
-        masks_flat = (
-            np.broadcast_to(m, (flat.shape[0],) + m.shape[-1:])
-            if m.ndim == 1
-            else np.repeat(m, th.shape[1], axis=0)
-        )
-    else:
-        flat, masks_flat = th, np.asarray(masks)
+    if th.ndim == 3:  # (N, K, 3) single chain -> add a chain axis
+        th = th[None]
+    flat = th.reshape(-1, th.shape[-2], 3)  # (C*N, K, 3)
+    m = np.asarray(masks)
+    if m.ndim == 1:  # one static mask for every draw
+        masks_flat = np.broadcast_to(m, (flat.shape[0],) + m.shape)
+    else:  # per-chain/particle masks (C, K): repeat over the draw axis
+        masks_flat = np.repeat(m, th.shape[1], axis=0)
 
     idx = np.linspace(0, flat.shape[0] - 1, min(n_draws, flat.shape[0])).astype(int)
     lam = np.zeros((spec.height, spec.width))
@@ -127,7 +130,12 @@ def reconstruction_plot(
 def save_report(out, image, path_prefix: str):
     """Write trace/corner/reconstruction PNGs for a SampleOutput."""
     figs = {}
-    figs["trace"] = trace_plot(out.thetas)
+    th = out.thetas
+    if th.shape[1] == 1 and th.shape[0] > 8:
+        # SMC/ADVI pack draws on axis 0 with N=1; transpose so the trace
+        # shows the particle population as one pseudo-chain of draws.
+        th = th.transpose(1, 0, 2, 3)
+    figs["trace"] = trace_plot(th)
     if out.thetas.shape[2] == 1 and out.masks.ndim == 1:
         truth = [out.stats["truth"]["x"][0], out.stats["truth"]["y"][0],
                  out.stats["truth"]["f"][0]]
@@ -135,9 +143,11 @@ def save_report(out, image, path_prefix: str):
     figs["reconstruction"] = reconstruction_plot(
         out.thetas, out.masks, out.config.scene, image
     )
+    plt = _plt()
     paths = []
     for name, fig in figs.items():
         p = f"{path_prefix}_{name}.png"
         fig.savefig(p, dpi=110)
+        plt.close(fig)
         paths.append(p)
     return paths
