@@ -110,7 +110,13 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         thetas = np.asarray(res.theta)[:, None, :, :]
         masks = np.asarray(res.mask)
         stats.update(log_z=float(res.log_z), n_temp_steps=int(res.n_steps),
-                     accept=float(res.mean_accept), step_size=float(res.eps))
+                     accept=float(res.mean_accept), step_size=float(res.eps),
+                     beta=float(res.beta))
+        if float(res.beta) < 1.0:
+            stats["warning"] = (
+                f"tempering capped at beta={float(res.beta):.4f} "
+                f"(max_steps={cfg.smc.max_steps}); raise smc.max_steps"
+            )
     elif cfg.head == "advi":
         mu0 = sample_prior(jax.random.fold_in(key, 2), cfg.kmax, prior)
         res = fit_advi(jax.random.fold_in(key, 1), grad_fn, mu0, mask, ADVIConfig())

@@ -128,6 +128,7 @@ cfg4_crowded = _register(RunConfig(
     smc=SMCConfig(
         n_particles=4096, mutation="rhmc", n_mutation_steps=2, n_leapfrog=6,
         fixed_point_iters=4, n_transdim_sweeps=2, step_size0=0.2,
+        max_steps=250,  # crowded-field likelihood needs many more temper steps
         transdim=TransDimConfig(lam_count=40.0, split_sigma=1.0),
     ),
     notes="stretch config; shard particles over all hosts (SURVEY.md §3.4)",

@@ -83,6 +83,7 @@ class SMCResult(NamedTuple):
     n_steps: jax.Array
     eps: jax.Array
     mean_accept: jax.Array
+    beta: jax.Array  # final temperature; < 1 means max_steps capped the pass
 
 
 def ess_from_logw(logw: jax.Array) -> jax.Array:
@@ -280,7 +281,8 @@ def smc_tempering(
         return (s.beta < 1.0) & (s.n_steps < cfg.max_steps)
 
     s = jax.lax.while_loop(cond, step, s0)
-    return SMCResult(s.theta, s.mask, s.loglik, s.log_z, s.n_steps, s.eps, s.mean_accept)
+    return SMCResult(s.theta, s.mask, s.loglik, s.log_z, s.n_steps, s.eps,
+                     s.mean_accept, s.beta)
 
 
 def run_smc(
