@@ -67,3 +67,59 @@ def constrain_chains(tree, mesh: Mesh, axis_name: str = "chains"):
         ),
         tree,
     )
+
+
+def make_pixel_sharded_loglik(spec, image, mesh: Mesh, axis_name: str = "pixels"):
+    """Pixel-axis sharding escape hatch (SURVEY.md §5.7).
+
+    Configs 0-4 fit per chip and shard only chains/particles; when a scene
+    ever exceeds per-chip memory/FLOP comfort, the idiomatic TPU answer is
+    to shard the PIXEL axis: each device renders its row block of the image
+    (the separable likelihood needs no halo exchange — the PSF is evaluated
+    analytically per pixel) and a single psum combines the per-shard
+    partial log-likelihood sums.
+
+    Returns loglik(theta, mask) -> scalar, differentiable (jax.grad flows
+    through shard_map and the psum), with `image` pre-sharded by rows.
+    Requires spec.height % n_devices == 0.
+    """
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .potential import constrain
+    from .scene import gaussian_profile_1d, pixel_centers
+
+    n_dev = mesh.devices.size
+    assert spec.height % n_dev == 0, (spec.height, n_dev)
+    img_sharded = jax.device_put(
+        jnp.asarray(image), NamedSharding(mesh, P(axis_name, None))
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name, None)),
+        out_specs=P(),
+    )
+    def ll(theta, mask, img_block):
+        h_blk = img_block.shape[0]
+        row0 = jax.lax.axis_index(axis_name) * h_blk
+        x, y, f = constrain(theta, spec)
+        cx = pixel_centers(spec.width, theta.dtype)
+        cy = jnp.arange(h_blk, dtype=theta.dtype) + (row0.astype(theta.dtype) + 0.5)
+        gx = gaussian_profile_1d(x, cx, spec.psf_sigma)
+        gy = gaussian_profile_1d(y, cy, spec.psf_sigma)  # local rows only
+        w = f * mask
+        lam = spec.background + jnp.einsum(
+            "kh,kw->hw", gy * w[:, None], gx, precision="highest"
+        )
+        partial_sum = jnp.sum(img_block * jnp.log(lam) - lam)
+        return jax.lax.psum(partial_sum, axis_name)
+
+    def loglik(theta, mask):
+        return ll(theta, mask, img_sharded)
+
+    return loglik
