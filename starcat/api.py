@@ -50,6 +50,10 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
     pg = make_potential_and_grad(spec, img, prior)
     grad_fn = lambda th: pg(th, mask)
 
+    # long runs sample in 250-draw jit blocks (driver.sample_blocked):
+    # bitwise-identical and robust for long device programs
+    block = 250 if cfg.n_samples > 300 else None
+
     t_start = time.perf_counter()
     stats: dict[str, Any] = {}
 
@@ -57,7 +61,7 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         theta0 = _init_chains(key, cfg, truth_theta)
         res, wr = run_hmc(
             jax.random.fold_in(key, 1), grad_fn, theta0, mask,
-            cfg.n_samples, cfg.n_warmup, cfg.hmc,
+            cfg.n_samples, cfg.n_warmup, cfg.hmc, block_size=block,
         )
         thetas = np.asarray(res.thetas)
         stats.update(step_size=float(wr.step_size),
@@ -68,7 +72,7 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         theta0 = _init_chains(key, cfg, truth_theta)
         res, wr = run_nuts(
             jax.random.fold_in(key, 1), grad_fn, theta0, mask,
-            cfg.n_samples, cfg.n_warmup, cfg.nuts,
+            cfg.n_samples, cfg.n_warmup, cfg.nuts, block_size=block,
         )
         thetas = np.asarray(res.thetas)
         stats.update(step_size=float(wr.step_size),
@@ -81,7 +85,7 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         metric = make_metric_fn(spec, prior)
         res, wr = run_rhmc(
             jax.random.fold_in(key, 1), pfn, metric, grad_fn, theta0, mask,
-            cfg.n_samples, cfg.n_warmup, cfg.rhmc,
+            cfg.n_samples, cfg.n_warmup, cfg.rhmc, block_size=block,
         )
         thetas = np.asarray(res.thetas)
         stats.update(step_size=float(wr.step_size),

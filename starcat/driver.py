@@ -132,6 +132,56 @@ def sample(
     return SampleResult(jnp.moveaxis(thetas, 0, 1), aprob.T, div.T, st)
 
 
+def sample_blocked(
+    states: ChainState,
+    kernel: Callable,
+    n_samples: int,
+    step_size: jax.Array,
+    inv_mass: jax.Array,
+    block_size: int = 250,
+    checkpoint_path: str | None = None,
+) -> SampleResult:
+    """Sampling in fixed-size jit blocks with optional orbax checkpoints.
+
+    Bitwise-identical to one big sample() call (per-chain PRNG keys live in
+    ChainState, so continuation is deterministic — tested), but each device
+    program stays small and a crash loses at most one block: the pattern for
+    long production runs (SURVEY.md §5.4) and for environments where very
+    long single programs are fragile.
+    """
+    import math
+
+    import numpy as np
+
+    # uniform block sizes -> a single compiled sampling program is reused
+    # for every block (a trailing remainder block would recompile)
+    n_blocks = max(1, math.ceil(n_samples / block_size))
+    block_size = math.ceil(n_samples / n_blocks)
+
+    blocks = []
+    aprobs = []
+    divs = []
+    done = 0
+    while done < n_samples:
+        n = min(block_size, n_samples - done)
+        res = sample(states, kernel, n, step_size, inv_mass)
+        states = res.final_states
+        blocks.append(np.asarray(res.thetas))
+        aprobs.append(np.asarray(res.accept_prob))
+        divs.append(np.asarray(res.diverged))
+        done += n
+        if checkpoint_path is not None:
+            from .checkpoint import save_state
+
+            save_state(checkpoint_path, states)
+    return SampleResult(
+        jnp.concatenate([jnp.asarray(b) for b in blocks], axis=1),
+        jnp.concatenate([jnp.asarray(a) for a in aprobs], axis=1),
+        jnp.concatenate([jnp.asarray(d) for d in divs], axis=1),
+        states,
+    )
+
+
 def run_mcmc(
     key: jax.Array,
     kernel: Callable,
@@ -142,11 +192,24 @@ def run_mcmc(
     step_size: float = 0.1,
     target_accept: float = 0.8,
     adapt_mass: bool = True,
+    block_size: int | None = None,
+    checkpoint_path: str | None = None,
 ):
-    """init -> warmup -> sample; returns (SampleResult, WarmupResult)."""
+    """init -> warmup -> sample; returns (SampleResult, WarmupResult).
+
+    block_size: if set, sample in blocks of this many draws (see
+    sample_blocked) — recommended for long runs.
+    """
     states = init_chain_states(key, theta0, grad_fn)
     wr = warmup(
         states, kernel, n_warmup,
         step_size=step_size, target_accept=target_accept, adapt_mass=adapt_mass,
     )
-    return sample(wr.states, kernel, n_samples, wr.step_size, wr.inv_mass), wr
+    if block_size is not None:
+        res = sample_blocked(
+            wr.states, kernel, n_samples, wr.step_size, wr.inv_mass,
+            block_size=block_size, checkpoint_path=checkpoint_path,
+        )
+    else:
+        res = sample(wr.states, kernel, n_samples, wr.step_size, wr.inv_mass)
+    return res, wr

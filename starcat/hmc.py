@@ -161,13 +161,14 @@ def run_hmc(
     n_warmup: int,
     config: HMCConfig = HMCConfig(),
     adapt_mass: bool = True,
+    block_size: int | None = None,
 ):
     """Convenience driver: init -> warmup -> sample (SURVEY.md §3.3)."""
     kernel = make_hmc_kernel(grad_fn, mask, config)
     return run_mcmc(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,
-        adapt_mass=adapt_mass,
+        adapt_mass=adapt_mass, block_size=block_size,
     )
 
 

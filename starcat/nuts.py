@@ -252,11 +252,12 @@ def run_nuts(
     n_warmup: int,
     config: NUTSConfig = NUTSConfig(),
     adapt_mass: bool = True,
+    block_size: int | None = None,
 ):
     """1024-chain-ready NUTS driver (config 2, BASELINE.json:9)."""
     kernel = make_nuts_kernel(grad_fn, mask, config)
     return run_mcmc(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,
-        adapt_mass=adapt_mass,
+        adapt_mass=adapt_mass, block_size=block_size,
     )

@@ -186,11 +186,12 @@ def run_rhmc(
     n_samples: int,
     n_warmup: int,
     config: RHMCConfig = RHMCConfig(),
+    block_size: int | None = None,
 ):
     """Config-1 driver: 64-chain RHMC with step-size-only warmup."""
     kernel = make_rhmc_kernel(potential_fn, metric_fn, mask, config)
     return run_mcmc(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,
-        adapt_mass=False,
+        adapt_mass=False, block_size=block_size,
     )

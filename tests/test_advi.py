@@ -65,3 +65,33 @@ def test_advi_dead_slots_frozen():
     np.testing.assert_array_equal(
         np.asarray(draws)[:, 1, :], np.broadcast_to(np.asarray(mu0)[1], (50, 3))
     )
+
+
+def test_fullrank_advi_recovers_correlation():
+    """Full-rank family recovers an off-diagonal covariance the mean-field
+    family cannot."""
+    from starcat.advi import ADVIConfig, advi_sample_fullrank, fit_advi_fullrank
+
+    rng = np.random.default_rng(0)
+    a = np.array([[1.0, 0.8, 0.0], [0.8, 1.0, 0.3], [0.0, 0.3, 1.0]])
+    cov = a @ a.T
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+
+    def gf(theta):
+        v = theta.reshape(3)
+        g = prec @ v
+        return 0.5 * jnp.dot(v, g), g.reshape(1, 3)
+
+    res = fit_advi_fullrank(
+        jax.random.key(0), gf, jnp.zeros((1, 3)),
+        ADVIConfig(n_steps=4000, n_mc=16, learning_rate=3e-2),
+    )
+    fitted_cov = np.asarray(res.scale_tril @ res.scale_tril.T)
+    np.testing.assert_allclose(fitted_cov, cov, atol=0.4, rtol=0.25)
+    # correlations specifically (mean-field would give 0 off-diagonal)
+    corr = fitted_cov / np.sqrt(np.outer(np.diag(fitted_cov), np.diag(fitted_cov)))
+    corr_true = cov / np.sqrt(np.outer(np.diag(cov), np.diag(cov)))
+    np.testing.assert_allclose(corr, corr_true, atol=0.1)
+    draws = advi_sample_fullrank(jax.random.key(1), res, 2000)
+    emp = np.cov(np.asarray(draws).reshape(2000, 3).T)
+    np.testing.assert_allclose(emp, cov, atol=0.5, rtol=0.3)

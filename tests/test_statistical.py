@@ -118,3 +118,26 @@ def test_metrics_logger_and_cost_analysis(tmp_path):
 
     ca = cost_analysis(lambda a, b: a @ b, jnp.ones((64, 64)), jnp.ones((64, 64)))
     assert ca["flops"] > 0
+
+
+def test_blocked_sampling_bitwise_equal():
+    """sample_blocked == one big sample() call, bitwise (long-run pattern)."""
+    from starcat.driver import sample_blocked
+
+    img = make_mock_image(
+        jax.random.key(1), jnp.array([6.0]), jnp.array([6.0]), jnp.array([80.0]), SPEC
+    )
+    pg = starcat.make_potential_and_grad(SPEC, img, PRIOR)
+    mask = jnp.ones(1)
+    gf = lambda th: pg(th, mask)
+    kernel = make_hmc_kernel(gf, mask, HMCConfig(step_size=0.05, n_leapfrog=5))
+    theta0 = sample_prior(jax.random.key(2), 1, PRIOR)[None] + jnp.zeros((8, 1, 3))
+    states = init_chain_states(jax.random.key(3), theta0, gf)
+    eps, im = jnp.asarray(0.05), jnp.ones((1, 3))
+
+    full = sample(states, kernel, 90, eps, im)
+    blocked = sample_blocked(states, kernel, 90, eps, im, block_size=40)
+    np.testing.assert_array_equal(np.asarray(full.thetas), np.asarray(blocked.thetas))
+    np.testing.assert_array_equal(
+        np.asarray(full.final_states.theta), np.asarray(blocked.final_states.theta)
+    )
