@@ -39,7 +39,8 @@ def cmd_run(args):
     cfg = apply_overrides(CONFIGS[args.config], _parse_overrides(args.overrides))
     if cfg.head == "oracle":
         cfg = apply_overrides(cfg, {"head": "hmc"})  # oracle preset -> JAX HMC head
-    out = sample(cfg, seed=args.seed)
+    out = sample(cfg, seed=args.seed,
+                 checkpoint_path=args.checkpoint, resume=args.resume)
     summ = summarize_output(out)
     record = {
         "config": cfg.name,
@@ -123,6 +124,10 @@ def main(argv=None):
     p_run = sub.add_parser("run", help="run a preset")
     p_run.add_argument("--config", required=True)
     p_run.add_argument("--seed", type=int, default=0)
+    p_run.add_argument("--checkpoint", default=None,
+                       help="orbax block-checkpoint path (SURVEY.md §5.4)")
+    p_run.add_argument("--resume", action="store_true",
+                       help="continue a crashed run from --checkpoint (§5.3)")
     p_run.add_argument("overrides", nargs="*", help="key=value overrides")
     p_run.set_defaults(fn=cmd_run)
 

@@ -37,10 +37,14 @@ class SampleOutput:
 
 
 def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
-           metrics_path: str | None = None) -> SampleOutput:
+           metrics_path: str | None = None,
+           checkpoint_path: str | None = None, resume: bool = False) -> SampleOutput:
     """Run the configured head on the config's mock scene (or a given image).
 
-    metrics_path: optional JSONL sink for run metrics (SURVEY.md §5.5)."""
+    metrics_path: optional JSONL sink for run metrics (SURVEY.md §5.5).
+    checkpoint_path/resume: orbax block checkpoints for the MCMC heads; with
+    resume=True a crashed run continues from its last completed block and
+    the output contains only the remaining draws (SURVEY.md §5.3/§5.4)."""
     truth_theta, mock_img = cfg.make_data()
     img = mock_img if image is None else jnp.asarray(image)
     spec, prior = cfg.scene, cfg.prior
@@ -53,6 +57,9 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
     # long runs sample in 250-draw jit blocks (driver.sample_blocked):
     # bitwise-identical and robust for long device programs
     block = 250 if cfg.n_samples > 300 else None
+    if checkpoint_path is not None and block is None:
+        block = max(1, cfg.n_samples // 4)  # checkpointing implies blocks
+    ck = dict(checkpoint_path=checkpoint_path, resume=resume)
 
     t_start = time.perf_counter()
     stats: dict[str, Any] = {}
@@ -61,7 +68,7 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         theta0 = _init_chains(key, cfg, truth_theta)
         res, wr = run_hmc(
             jax.random.fold_in(key, 1), grad_fn, theta0, mask,
-            cfg.n_samples, cfg.n_warmup, cfg.hmc, block_size=block,
+            cfg.n_samples, cfg.n_warmup, cfg.hmc, block_size=block, **ck,
         )
         thetas = np.asarray(res.thetas)
         stats.update(step_size=float(wr.step_size),
@@ -72,7 +79,7 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         theta0 = _init_chains(key, cfg, truth_theta)
         res, wr = run_nuts(
             jax.random.fold_in(key, 1), grad_fn, theta0, mask,
-            cfg.n_samples, cfg.n_warmup, cfg.nuts, block_size=block,
+            cfg.n_samples, cfg.n_warmup, cfg.nuts, block_size=block, **ck,
         )
         thetas = np.asarray(res.thetas)
         stats.update(step_size=float(wr.step_size),
@@ -85,7 +92,7 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         metric = make_metric_fn(spec, prior)
         res, wr = run_rhmc(
             jax.random.fold_in(key, 1), pfn, metric, grad_fn, theta0, mask,
-            cfg.n_samples, cfg.n_warmup, cfg.rhmc, block_size=block,
+            cfg.n_samples, cfg.n_warmup, cfg.rhmc, block_size=block, **ck,
         )
         thetas = np.asarray(res.thetas)
         stats.update(step_size=float(wr.step_size),

@@ -85,6 +85,13 @@ def split_rhat(chains: np.ndarray) -> float:
 def summarize(chains: np.ndarray) -> dict:
     """Posterior summary of one scalar: mean, sd, mc standard error, ess, rhat."""
     chains = np.atleast_2d(np.asarray(chains, dtype=np.float64))
+    if chains.shape[1] < 2:
+        # zero/one draws (e.g. resuming an already-complete checkpointed
+        # run): no moments to report, and split-R̂/ESS are undefined
+        flat = chains.reshape(-1)
+        mean = float(flat.mean()) if flat.size else float("nan")
+        return {"mean": mean, "sd": float("nan"), "mcse": float("nan"),
+                "ess": 0.0, "rhat": float("nan")}
     flat = chains.reshape(-1)
     n_eff = ess(chains)
     sd = flat.std(ddof=1)

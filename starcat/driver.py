@@ -132,6 +132,27 @@ def sample(
     return SampleResult(jnp.moveaxis(thetas, 0, 1), aprob.T, div.T, st)
 
 
+class BlockCheckpoint(NamedTuple):
+    """Checkpoint payload written after every sampling block (SURVEY.md
+    §5.4): chain states (incl. per-chain PRNG keys), completed-draw count and
+    the fixed post-warmup kernel parameters — everything a replacement
+    process needs to continue without re-warming (SURVEY.md §5.3
+    checkpoint-restart recovery)."""
+
+    states: ChainState
+    done: jax.Array       # () int32 — draws completed
+    step_size: jax.Array  # ()
+    inv_mass: jax.Array   # param-shaped
+
+
+def checkpoint_like(states: ChainState) -> BlockCheckpoint:
+    """Structure donor for restore_state on a BlockCheckpoint."""
+    return BlockCheckpoint(
+        states, jnp.zeros((), jnp.int32), jnp.zeros(()),
+        jnp.ones(states.theta.shape[1:]),
+    )
+
+
 def sample_blocked(
     states: ChainState,
     kernel: Callable,
@@ -140,6 +161,7 @@ def sample_blocked(
     inv_mass: jax.Array,
     block_size: int = 250,
     checkpoint_path: str | None = None,
+    start_done: int = 0,
 ) -> SampleResult:
     """Sampling in fixed-size jit blocks with optional orbax checkpoints.
 
@@ -148,6 +170,10 @@ def sample_blocked(
     program stays small and a crash loses at most one block: the pattern for
     long production runs (SURVEY.md §5.4) and for environments where very
     long single programs are fragile.
+
+    start_done: draws already completed by a previous (crashed) process —
+    this call produces only the remaining n_samples - start_done draws
+    (fault recovery, SURVEY.md §5.3; see run_mcmc(resume=True)).
     """
     import math
 
@@ -161,7 +187,7 @@ def sample_blocked(
     blocks = []
     aprobs = []
     divs = []
-    done = 0
+    done = start_done
     while done < n_samples:
         n = min(block_size, n_samples - done)
         res = sample(states, kernel, n, step_size, inv_mass)
@@ -173,7 +199,16 @@ def sample_blocked(
         if checkpoint_path is not None:
             from .checkpoint import save_state
 
-            save_state(checkpoint_path, states)
+            save_state(checkpoint_path, BlockCheckpoint(
+                states, jnp.asarray(done, jnp.int32),
+                jnp.asarray(step_size, jnp.float32), jnp.asarray(inv_mass),
+            ))
+    if not blocks:  # resume found the run already complete
+        c = states.theta.shape[0]
+        return SampleResult(
+            jnp.zeros((c, 0) + states.theta.shape[1:]),
+            jnp.zeros((c, 0)), jnp.zeros((c, 0), bool), states,
+        )
     return SampleResult(
         jnp.concatenate([jnp.asarray(b) for b in blocks], axis=1),
         jnp.concatenate([jnp.asarray(a) for a in aprobs], axis=1),
@@ -194,13 +229,34 @@ def run_mcmc(
     adapt_mass: bool = True,
     block_size: int | None = None,
     checkpoint_path: str | None = None,
+    resume: bool = False,
 ):
     """init -> warmup -> sample; returns (SampleResult, WarmupResult).
 
     block_size: if set, sample in blocks of this many draws (see
     sample_blocked) — recommended for long runs.
+
+    resume: if True and checkpoint_path holds a BlockCheckpoint from a
+    previous (crashed or preempted) run, skip warmup, restore chain states /
+    step size / mass, and produce only the remaining draws — the
+    checkpoint-restart recovery path of SURVEY.md §5.3 (tested by
+    tests/test_fault_recovery.py).  Continuation is bitwise-identical to an
+    uninterrupted run on the same backend.
     """
+    import os
+
     states = init_chain_states(key, theta0, grad_fn)
+    if resume and checkpoint_path is not None and os.path.exists(checkpoint_path):
+        from .checkpoint import restore_state
+
+        ck = restore_state(checkpoint_path, checkpoint_like(states))
+        wr = WarmupResult(ck.states, ck.step_size, ck.inv_mass)
+        res = sample_blocked(
+            ck.states, kernel, n_samples, ck.step_size, ck.inv_mass,
+            block_size=block_size or 250, checkpoint_path=checkpoint_path,
+            start_done=int(ck.done),
+        )
+        return res, wr
     wr = warmup(
         states, kernel, n_warmup,
         step_size=step_size, target_accept=target_accept, adapt_mass=adapt_mass,

@@ -162,6 +162,8 @@ def run_hmc(
     config: HMCConfig = HMCConfig(),
     adapt_mass: bool = True,
     block_size: int | None = None,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
 ):
     """Convenience driver: init -> warmup -> sample (SURVEY.md §3.3)."""
     kernel = make_hmc_kernel(grad_fn, mask, config)
@@ -169,6 +171,7 @@ def run_hmc(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,
         adapt_mass=adapt_mass, block_size=block_size,
+        checkpoint_path=checkpoint_path, resume=resume,
     )
 
 

@@ -187,6 +187,8 @@ def run_rhmc(
     n_warmup: int,
     config: RHMCConfig = RHMCConfig(),
     block_size: int | None = None,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
 ):
     """Config-1 driver: 64-chain RHMC with step-size-only warmup."""
     kernel = make_rhmc_kernel(potential_fn, metric_fn, mask, config)
@@ -194,4 +196,5 @@ def run_rhmc(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,
         adapt_mass=False, block_size=block_size,
+        checkpoint_path=checkpoint_path, resume=resume,
     )

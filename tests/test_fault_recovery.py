@@ -1,0 +1,153 @@
+"""Fault injection / checkpoint-restart recovery (SURVEY.md §5.3).
+
+The survey's recovery model: MCMC is trivially restartable — periodic orbax
+block checkpoints + restart on a replacement process.  This test implements
+the §5.3 fault-injection hook: a worker process samples in blocks with
+checkpointing, gets SIGKILLed mid-run (a dead host, not a clean exception),
+and a replacement process resumes from the last completed block.  The
+recovered run's remaining draws must be bitwise-identical to the same
+blocks of an uninterrupted run (per-chain PRNG keys live in the checkpoint,
+so continuation is deterministic on a fixed backend).
+"""
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+import starcat
+from starcat.driver import init_chain_states, sample_blocked, warmup
+from starcat.hmc import HMCConfig, make_hmc_kernel
+
+mode = sys.argv[1]            # "full" | "crash" | "resume"
+ckpt = sys.argv[2]
+out = sys.argv[3]
+
+spec = starcat.SceneSpec(12, 12, 1.5, 4.0)
+prior = starcat.PriorSpec(3.0, 0.7)
+truth = starcat.sample_prior(jax.random.key(0), 2, prior)
+x, y, f = starcat.constrain(truth, spec)
+img = starcat.make_mock_image(jax.random.key(1), x, y, f, spec)
+mask = jnp.ones(2)
+pg = starcat.make_potential_and_grad(spec, img, prior)
+grad_fn = lambda th: pg(th, mask)
+theta0 = truth[None] + 0.01 * jax.random.normal(jax.random.key(2), (4, 2, 3))
+
+kernel = make_hmc_kernel(grad_fn, mask, HMCConfig(step_size=0.05, n_leapfrog=5))
+states = init_chain_states(jax.random.key(3), theta0, grad_fn)
+eps = jnp.asarray(0.05)
+inv_mass = jnp.ones((2, 3))
+
+N, BLOCK = 40, 10
+
+if mode == "crash":
+    # save checkpoints per block, then die hard after 2 blocks (no cleanup,
+    # no atexit — simulates a host failure)
+    from starcat.driver import BlockCheckpoint
+    from starcat.checkpoint import save_state
+    done = 0
+    while True:
+        res = sample_blocked(states, kernel, done + BLOCK, eps, inv_mass,
+                             block_size=BLOCK, checkpoint_path=ckpt,
+                             start_done=done)
+        states = res.final_states
+        done += BLOCK
+        if done >= 2 * BLOCK:
+            os.kill(os.getpid(), 9)   # SIGKILL mid-run
+elif mode == "resume":
+    from starcat.checkpoint import restore_state
+    from starcat.driver import checkpoint_like
+    ck = restore_state(ckpt, checkpoint_like(states))
+    assert int(ck.done) == 2 * BLOCK, f"expected resume at 20, got {int(ck.done)}"
+    res = sample_blocked(ck.states, kernel, N, ck.step_size, ck.inv_mass,
+                         block_size=BLOCK, checkpoint_path=ckpt,
+                         start_done=int(ck.done))
+    np.save(out, np.asarray(res.thetas))
+else:  # full, uninterrupted
+    res = sample_blocked(states, kernel, N, eps, inv_mass, block_size=BLOCK)
+    np.save(out, np.asarray(res.thetas))
+print("WORKER_DONE", mode)
+"""
+
+
+def _run_worker(tmp_path, mode: str, ckpt: str, out: str):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(_WORKER)
+    return subprocess.run(
+        [sys.executable, str(worker_py), mode, ckpt, out],
+        capture_output=True, text=True, timeout=560, env=env,
+    )
+
+
+def test_sigkill_midrun_then_resume(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    full_out = str(tmp_path / "full.npy")
+    resume_out = str(tmp_path / "resume.npy")
+
+    # 1. uninterrupted golden run
+    r = _run_worker(tmp_path, "full", str(tmp_path / "unused"), full_out)
+    assert r.returncode == 0, r.stderr
+
+    # 2. worker killed by SIGKILL after 2 of 4 blocks
+    r = _run_worker(tmp_path, "crash", ckpt, str(tmp_path / "no.npy"))
+    assert r.returncode == -signal.SIGKILL, (r.returncode, r.stderr)
+    assert os.path.exists(ckpt), "no checkpoint left behind by crashed worker"
+
+    # 3. replacement process restores and completes the remaining blocks
+    r = _run_worker(tmp_path, "resume", ckpt, resume_out)
+    assert r.returncode == 0, r.stderr
+    assert "WORKER_DONE resume" in r.stdout
+
+    full = np.load(full_out)        # (C, 40, K, 3)
+    resumed = np.load(resume_out)   # (C, 20, K, 3) — blocks 3-4 only
+    assert resumed.shape[1] == 20
+    np.testing.assert_array_equal(resumed, full[:, 20:])
+
+
+def test_run_mcmc_resume_api(tmp_path):
+    """run_mcmc(resume=True) skips warmup and continues from the block
+    checkpoint — same draws as the uninterrupted blocked run."""
+    import jax
+    import jax.numpy as jnp
+    import starcat
+    from starcat.driver import init_chain_states, run_mcmc
+    from starcat.hmc import HMCConfig, make_hmc_kernel
+
+    spec = starcat.SceneSpec(10, 10, 1.5, 4.0)
+    prior = starcat.PriorSpec(3.0, 0.7)
+    truth = starcat.sample_prior(jax.random.key(0), 2, prior)
+    x, y, f = starcat.constrain(truth, spec)
+    img = starcat.make_mock_image(jax.random.key(1), x, y, f, spec)
+    mask = jnp.ones(2)
+    pg = starcat.make_potential_and_grad(spec, img, prior)
+    grad_fn = lambda th: pg(th, mask)
+    theta0 = truth[None] + 0.01 * jax.random.normal(jax.random.key(2), (4, 2, 3))
+    kernel = make_hmc_kernel(grad_fn, mask, HMCConfig(step_size=0.05, n_leapfrog=5))
+
+    ckpt = str(tmp_path / "ck")
+    res1, wr1 = run_mcmc(jax.random.key(3), kernel, grad_fn, theta0,
+                         n_samples=20, n_warmup=10, block_size=10,
+                         checkpoint_path=ckpt)
+    # "crash" after the full run; a resume run should produce ZERO new draws
+    res2, wr2 = run_mcmc(jax.random.key(3), kernel, grad_fn, theta0,
+                         n_samples=20, n_warmup=10, block_size=10,
+                         checkpoint_path=ckpt, resume=True)
+    assert res2.thetas.shape[1] == 0
+    assert float(wr2.step_size) == pytest.approx(float(wr1.step_size))
+    np.testing.assert_array_equal(
+        np.asarray(res2.final_states.theta), np.asarray(res1.final_states.theta)
+    )
