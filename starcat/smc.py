@@ -47,7 +47,15 @@ class SMCConfig(NamedTuple):
     n_particles: int = 1024
     ess_target_frac: float = 0.5
     max_steps: int = 60
-    mutation: str = "rhmc"             # "rhmc" | "hmc"
+    # "rhmc"        — XLA generalized leapfrog (autodiff metric derivative)
+    # "rhmc_pallas" — fused Pallas Riemannian kernel (pallas_rhmc.py): the
+    #                 whole implicit trajectory VMEM-resident, ~6x the XLA
+    #                 path on a v5e chip; requires n_particles % 128 == 0
+    #                 and a single-device particle axis (pallas_call has no
+    #                 GSPMD partitioning rule — keep "rhmc" for multi-chip
+    #                 sharded runs or wrap in shard_map)
+    # "hmc"         — plain leapfrog, unit mass
+    mutation: str = "rhmc"             # "rhmc" | "rhmc_pallas" | "hmc"
     n_mutation_steps: int = 2
     n_leapfrog: int = 8
     fixed_point_iters: int = 4
@@ -213,7 +221,22 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
         u0, g0 = jax.vmap(gfn)(theta, mask)
         states = ChainState(theta, u0, g0, jax.random.split(k_mut, p))
 
-        if cfg.mutation == "rhmc":
+        if cfg.mutation == "rhmc_pallas":
+            from .rhmc import RHMCConfig, make_pallas_rhmc_kernel
+
+            pallas_kernel = make_pallas_rhmc_kernel(
+                spec, image, prior, mask,  # per-particle (P, K) mask, traced
+                RHMCConfig(
+                    n_leapfrog=cfg.n_leapfrog,
+                    fixed_point_iters=cfg.fixed_point_iters,
+                    divergence_threshold=cfg.divergence_threshold,
+                ),
+                beta=beta,                 # traced SMC temperature
+                # CPU (tests, fake-mesh runs): Pallas interpreter mode
+                interpret=jax.default_backend() != "tpu",
+            )
+            one = None
+        elif cfg.mutation == "rhmc":
             ham, dhdt, dhdp = make_rhmc_functions(pfn, metric_b)
 
             def one(st, m):
@@ -234,7 +257,9 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
         chunk = min(cfg.mutation_chunk, p)
 
         def mut_step(sts, _):
-            if cfg.mutation == "rhmc" and chunk < p:
+            if cfg.mutation == "rhmc_pallas":
+                sts, info = pallas_kernel(sts, s.eps, jnp.ones(()))
+            elif cfg.mutation == "rhmc" and chunk < p:
                 sts, info = jax.lax.map(
                     lambda sm: one(sm[0], sm[1]), (sts, mask), batch_size=chunk
                 )
@@ -260,7 +285,7 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
     return step
 
 
-@partial(jax.jit, static_argnames=("spec", "cfg"))
+@partial(jax.jit, static_argnames=("spec", "prior", "cfg"))
 def smc_tempering(
     s0: SMCState,
     spec: SceneSpec,
