@@ -86,8 +86,9 @@ def make_pixel_sharded_loglik(spec, image, mesh: Mesh, axis_name: str = "pixels"
     from functools import partial
 
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
 
     from .potential import constrain
     from .scene import gaussian_profile_1d, pixel_centers

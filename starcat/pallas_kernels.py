@@ -229,7 +229,11 @@ def make_pallas_leapfrog(
     def fused(theta, p, eps, inv_mass, mask):
         c = theta.shape[0]
         t = pick_tile(c, spec, kmax) if tile is None else tile
-        assert c % t == 0, f"n_chains={c} must be a multiple of {t}"
+        # Auto-shrink to a divisor of C so small per-device shards (e.g.
+        # shard_map on a fake 8-device test mesh) still compile; production
+        # chain counts are multiples of 128 and keep the full lane tile.
+        if c % t:
+            t = math.gcd(c, t)
         grid = (c // t,)
         theta_t = _pack(theta, kmax)
         p_t = _pack(p, kmax)

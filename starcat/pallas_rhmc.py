@@ -619,8 +619,11 @@ def make_pallas_rhmc_leapfrog(
 
     def fused(theta, xi, eps, mask, beta=1.0):
         c = theta.shape[0]
-        assert c % t == 0, f"n_chains={c} must be a multiple of {t}"
-        grid = (c // t,)
+        # Auto-shrink the chain tile to a divisor of C (gcd keeps the full
+        # 128-lane tile for production shapes; small per-device shards under
+        # shard_map — e.g. tests on a fake 8-device mesh — still compile).
+        tt = t if c % t == 0 else math.gcd(c, t)
+        grid = (c // tt,)
         theta_t = _pack(theta, kmax)
         xi_t = _pack(xi, kmax)
         mask_t = jnp.broadcast_to(
@@ -645,18 +648,18 @@ def make_pallas_rhmc_leapfrog(
             in_specs=[
                 pl.BlockSpec((spec.height, spec.width), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tt), chain_block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((kmax, t), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((kmax, tt), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, tt), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, tt), chain_block, memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, tt), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, tt), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tt), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tt), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tt), chain_block, memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((d3, c), jnp.float32),

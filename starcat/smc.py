@@ -50,10 +50,10 @@ class SMCConfig(NamedTuple):
     # "rhmc"        — XLA generalized leapfrog (autodiff metric derivative)
     # "rhmc_pallas" — fused Pallas Riemannian kernel (pallas_rhmc.py): the
     #                 whole implicit trajectory VMEM-resident, ~6x the XLA
-    #                 path on a v5e chip; requires n_particles % 128 == 0
-    #                 and a single-device particle axis (pallas_call has no
-    #                 GSPMD partitioning rule — keep "rhmc" for multi-chip
-    #                 sharded runs or wrap in shard_map)
+    #                 path on a v5e chip.  On a sharded particle axis the
+    #                 mutation is wrapped in shard_map (pallas_call has no
+    #                 GSPMD partitioning rule), so it runs per-device on the
+    #                 local shard — pass mesh= to run_smc/smc_tempering.
     # "hmc"         — plain leapfrog, unit mass
     mutation: str = "rhmc"             # "rhmc" | "rhmc_pallas" | "hmc"
     n_mutation_steps: int = 2
@@ -171,8 +171,17 @@ def init_smc(
     )
 
 
-def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCConfig):
-    """One temperature step: reweight -> resample -> mutate.  jit-able."""
+def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCConfig,
+                  mesh=None):
+    """One temperature step: reweight -> resample -> mutate.  jit-able.
+
+    mesh: when the particle axis is sharded over a device mesh AND the
+    mutation is "rhmc_pallas", the Pallas kernel call is wrapped in
+    shard_map over this mesh (per-device local mutation — particles are
+    embarrassingly parallel inside the mutation, SURVEY.md §5.8).  The
+    pure-XLA mutations need no mesh: GSPMD partitions them from the input
+    shardings alone.
+    """
     tempered_pg = make_tempered_potential_and_grad(spec, image, prior)
     metric = make_metric_fn(spec, prior)
     llf = lambda th, m: log_likelihood(th, m, spec, image)
@@ -224,17 +233,36 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
         if cfg.mutation == "rhmc_pallas":
             from .rhmc import RHMCConfig, make_pallas_rhmc_kernel
 
-            pallas_kernel = make_pallas_rhmc_kernel(
-                spec, image, prior, mask,  # per-particle (P, K) mask, traced
-                RHMCConfig(
-                    n_leapfrog=cfg.n_leapfrog,
-                    fixed_point_iters=cfg.fixed_point_iters,
-                    divergence_threshold=cfg.divergence_threshold,
-                ),
-                beta=beta,                 # traced SMC temperature
-                # CPU (tests, fake-mesh runs): Pallas interpreter mode
-                interpret=jax.default_backend() != "tpu",
+            rcfg = RHMCConfig(
+                n_leapfrog=cfg.n_leapfrog,
+                fixed_point_iters=cfg.fixed_point_iters,
+                divergence_threshold=cfg.divergence_threshold,
             )
+            # CPU (tests, fake-mesh runs): Pallas interpreter mode
+            interp = jax.default_backend() != "tpu"
+
+            def pallas_mut(sts, m, img, eps_, beta_):
+                # built inside so that under shard_map every operand (the
+                # per-particle mask, the traced temperature, the image) is an
+                # explicit, correctly-specced argument — shard_map cannot
+                # close over traced values.
+                kern = make_pallas_rhmc_kernel(
+                    spec, img, prior, m, rcfg, beta=beta_, interpret=interp
+                )
+                return kern(sts, eps_, jnp.ones(()))
+
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as PSpec
+
+                ax = mesh.axis_names[0]
+                pallas_mut = jax.shard_map(
+                    pallas_mut, mesh=mesh,
+                    in_specs=(PSpec(ax), PSpec(ax), PSpec(), PSpec(), PSpec()),
+                    out_specs=(PSpec(ax), PSpec(ax)),
+                    # pallas_call's out_shape carries no varying-mesh-axes
+                    # info, so the vma check cannot see through it
+                    check_vma=False,
+                )
             one = None
         elif cfg.mutation == "rhmc":
             ham, dhdt, dhdp = make_rhmc_functions(pfn, metric_b)
@@ -258,7 +286,7 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
 
         def mut_step(sts, _):
             if cfg.mutation == "rhmc_pallas":
-                sts, info = pallas_kernel(sts, s.eps, jnp.ones(()))
+                sts, info = pallas_mut(sts, mask, image, s.eps, beta)
             elif cfg.mutation == "rhmc" and chunk < p:
                 sts, info = jax.lax.map(
                     lambda sm: one(sm[0], sm[1]), (sts, mask), batch_size=chunk
@@ -285,13 +313,14 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
     return step
 
 
-@partial(jax.jit, static_argnames=("spec", "prior", "cfg"))
+@partial(jax.jit, static_argnames=("spec", "prior", "cfg", "mesh"))
 def smc_tempering(
     s0: SMCState,
     spec: SceneSpec,
     image: jax.Array,
     prior: PriorSpec,
     cfg: SMCConfig,
+    mesh=None,
 ) -> SMCResult:
     """Run the tempering loop beta: 0 -> 1 from an initial state.
 
@@ -300,7 +329,7 @@ def smc_tempering(
     resampling gather becomes a cross-device collective — same program,
     1 chip to N hosts (SURVEY.md §5.8).
     """
-    step = make_smc_step(spec, image, prior, cfg)
+    step = make_smc_step(spec, image, prior, cfg, mesh=mesh)
 
     def cond(s):
         return (s.beta < 1.0) & (s.n_steps < cfg.max_steps)
@@ -330,4 +359,7 @@ def run_smc(
             mask=shard_chains(s0.mask, mesh),
             loglik=shard_chains(s0.loglik, mesh),
         )
-    return smc_tempering(s0, spec, image, prior, cfg)
+    return smc_tempering(
+        s0, spec, image, prior, cfg,
+        mesh=mesh if cfg.mutation == "rhmc_pallas" else None,
+    )
