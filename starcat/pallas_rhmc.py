@@ -162,11 +162,11 @@ def _contract_grad(rho, pr: _Profiles, kmax: int):
     """
     cu, cv, cs = [], [], []
     for i in range(kmax):
-        rg = jnp.sum(rho * pr.gx[i][None, :, :], axis=1)    # (H, T)
-        rg1 = jnp.sum(rho * pr.gx1[i][None, :, :], axis=1)
-        cu.append(pr.wcx[i] * jnp.sum(pr.gy[i] * rg1, axis=0))
-        cv.append(pr.wcy[i] * jnp.sum(pr.gy1[i] * rg, axis=0))
-        cs.append(pr.w[i] * jnp.sum(pr.gy[i] * rg, axis=0))
+        rg = jnp.sum(rho * pr.gy[i][:, None, :], axis=0)    # (W, T) Σ_h ρ·gy
+        rg1 = jnp.sum(rho * pr.gy1[i][:, None, :], axis=0)  # leading-axis
+        cu.append(pr.wcx[i] * jnp.sum(pr.gx1[i] * rg, axis=0))
+        cv.append(pr.wcy[i] * jnp.sum(pr.gx[i] * rg1, axis=0))
+        cs.append(pr.w[i] * jnp.sum(pr.gx[i] * rg, axis=0))
     return jnp.stack([jnp.stack(cu), jnp.stack(cv), jnp.stack(cs)])
 
 
@@ -206,37 +206,41 @@ def _fisher_and_hessian(pr: _Profiles, r1, kmax: int, with_s: bool):
     s_rows = [[[] for _ in range(3)] for _ in range(6)] if with_s else None
 
     for i in range(k):
-        # TxR[(xa, xb)] : (K_j, H, T) for xa of star i against xb of all j
-        txr = {}
-        xa_names = ("gx", "gx1", "gx2") if with_s else ("gx", "gx1")
-        for na in xa_names:
-            for nb in ("gx", "gx1"):
-                prods = xs[na][i][None, :, :] * xs[nb]       # (K, W, T)
-                txr[(na, nb)] = jnp.stack(
-                    [jnp.sum(r1 * prods[j][None, :, :], axis=1) for j in range(k)]
-                )                                            # (K, H, T)
+        # TyR[(ya, yb)] : (K_j, W, T) = Σ_h ya_i·yb_j·R1 for ya of star i
+        # against yb of all j.  Contracting over H — the LEADING axis —
+        # lowers as plain (W, T) vector accumulations with no sublane-
+        # rotation tree (these K² big passes dominate the metric build; the
+        # W-first form measured ~14% slower on the plain-leapfrog kernel).
+        tyr = {}
+        ya_names = ("gy", "gy1", "gy2") if with_s else ("gy", "gy1")
+        for na in ya_names:
+            for nb in ("gy", "gy1"):
+                prods = ys[na][i][None, :, :] * ys[nb]       # (K, H, T)
+                tyr[(na, nb)] = jnp.stack(
+                    [jnp.sum(r1 * prods[j][:, None, :], axis=0) for j in range(k)]
+                )                                            # (K, W, T)
 
         # Fisher rows for star i: F[(ta,i),(tb,:)] — vectorized over j.
         for ta in range(3):
             ca, ya, xa = _J_COEF[ta], _J_Y[ta], _J_X[ta]
             for tb in range(3):
                 cb, yb, xb = _J_COEF[tb], _J_Y[tb], _J_X[tb]
-                hsum = jnp.sum(
-                    ys[ya][i][None, :, :] * ys[yb] * txr[(xa, xb)], axis=1
+                wsum = jnp.sum(
+                    xs[xa][i][None, :, :] * xs[xb] * tyr[(ya, yb)], axis=1
                 )                                            # (K, T)
-                f_blocks[ta][tb].append(coefs[ca][i][None, :] * coefs[cb] * hsum)
+                f_blocks[ta][tb].append(coefs[ca][i][None, :] * coefs[cb] * wsum)
 
         if with_s:
-            # S[m, tb, i, :] = Σ_terms coefH_i · cJ_tb · Σ_h YH_i·YJ·TxR
+            # S[m, tb, i, :] = Σ_terms coefH_i · cJ_tb · Σ_w XH_i·XJ·TyR
             for m in range(6):
                 for tb in range(3):
                     cb, yb, xb = _J_COEF[tb], _J_Y[tb], _J_X[tb]
                     acc = None
                     for (ch, yh, xh) in _H_TERMS[m]:
-                        hsum = jnp.sum(
-                            ys[yh][i][None, :, :] * ys[yb] * txr[(xh, xb)], axis=1
+                        wsum = jnp.sum(
+                            xs[xh][i][None, :, :] * xs[xb] * tyr[(yh, yb)], axis=1
                         )
-                        term = coefs[ch][i][None, :] * coefs[cb] * hsum
+                        term = coefs[ch][i][None, :] * coefs[cb] * wsum
                         acc = term if acc is None else acc + term
                     s_rows[m][tb].append(acc)                # (K, T)
 
@@ -385,19 +389,20 @@ def _psi_contract(pr: _Profiles, a_blk, field, kmax: int):
     au, av, as_ = a_blk[0], a_blk[1], a_blk[2]               # (K, T)
     cu, cv, cs = [], [], []
     for i in range(kmax):
-        rg = jnp.sum(field * pr.gx[i][None, :, :], axis=1)   # (H, T)
-        rg1 = jnp.sum(field * pr.gx1[i][None, :, :], axis=1)
-        rg2 = jnp.sum(field * pr.gx2[i][None, :, :], axis=1)
+        # leading-axis (H) contractions — see _fisher_and_hessian note
+        rg = jnp.sum(field * pr.gy[i][:, None, :], axis=0)   # (W, T)
+        rg1 = jnp.sum(field * pr.gy1[i][:, None, :], axis=0)
+        rg2 = jnp.sum(field * pr.gy2[i][:, None, :], axis=0)
 
-        def hdot(y, r):
-            return jnp.sum(y[i] * r, axis=0)                 # (T,)
+        def wdot(x, r):
+            return jnp.sum(x[i] * r, axis=0)                 # (T,)
 
-        huu = pr.wcx2[i] * hdot(pr.gy, rg1) + pr.wcxx[i] * hdot(pr.gy, rg2)
-        huv = pr.wcxcy[i] * hdot(pr.gy1, rg1)
-        hus = pr.wcx[i] * hdot(pr.gy, rg1)
-        hvv = pr.wcy2[i] * hdot(pr.gy1, rg) + pr.wcyy[i] * hdot(pr.gy2, rg)
-        hvs = pr.wcy[i] * hdot(pr.gy1, rg)
-        hss = pr.w[i] * hdot(pr.gy, rg)
+        huu = pr.wcx2[i] * wdot(pr.gx1, rg) + pr.wcxx[i] * wdot(pr.gx2, rg)
+        huv = pr.wcxcy[i] * wdot(pr.gx1, rg1)
+        hus = pr.wcx[i] * wdot(pr.gx1, rg)
+        hvv = pr.wcy2[i] * wdot(pr.gx, rg1) + pr.wcyy[i] * wdot(pr.gx, rg2)
+        hvs = pr.wcy[i] * wdot(pr.gx, rg1)
+        hss = pr.w[i] * wdot(pr.gx, rg)
         cu.append(au[i] * huu + av[i] * huv + as_[i] * hus)
         cv.append(au[i] * huv + av[i] * hvv + as_[i] * hvs)
         cs.append(au[i] * hus + av[i] * hvs + as_[i] * hss)
