@@ -66,10 +66,27 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
 
     if cfg.head in ("hmc", "oracle"):
         theta0 = _init_chains(key, cfg, truth_theta)
-        res, wr = run_hmc(
-            jax.random.fold_in(key, 1), grad_fn, theta0, mask,
-            cfg.n_samples, cfg.n_warmup, cfg.hmc, block_size=block, **ck,
-        )
+        # MXU/VPU dispatch: small scenes take the fused Pallas trajectory
+        # kernel (~3x); crowded fields stay on the XLA/MXU path, which is
+        # faster there (measured crossover — see pallas_kernels.fused_supported)
+        from .pallas_kernels import fused_supported
+
+        if jax.default_backend() == "tpu" and fused_supported(
+            spec, cfg.kmax, cfg.n_chains
+        ):
+            from .hmc import run_hmc_pallas
+
+            stats["kernel"] = "pallas_fused"
+            res, wr = run_hmc_pallas(
+                jax.random.fold_in(key, 1), spec, img, prior, theta0, mask,
+                cfg.n_samples, cfg.n_warmup, cfg.hmc, block_size=block, **ck,
+            )
+        else:
+            stats["kernel"] = "xla"
+            res, wr = run_hmc(
+                jax.random.fold_in(key, 1), grad_fn, theta0, mask,
+                cfg.n_samples, cfg.n_warmup, cfg.hmc, block_size=block, **ck,
+            )
         thetas = np.asarray(res.thetas)
         stats.update(step_size=float(wr.step_size),
                      accept=float(np.asarray(res.accept_prob).mean()),

@@ -187,6 +187,9 @@ def run_hmc_pallas(
     config: HMCConfig = HMCConfig(),
     adapt_mass: bool = True,
     interpret: bool = False,
+    block_size: int | None = None,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
 ):
     """run_hmc on the fused Pallas trajectory kernel (performance path)."""
     from .potential import make_potential_and_grad
@@ -197,5 +200,6 @@ def run_hmc_pallas(
     return run_mcmc(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,
-        adapt_mass=adapt_mass,
+        adapt_mass=adapt_mass, block_size=block_size,
+        checkpoint_path=checkpoint_path, resume=resume,
     )

@@ -42,6 +42,31 @@ from .scene import SceneSpec
 TILE = 128  # minimum chain tile (one lane group)
 
 
+def fused_supported(spec: SceneSpec, kmax: int, n_chains: int) -> bool:
+    """Should the fused VPU trajectory kernel be used for this workload?
+
+    Two regimes (both measured on a v5e chip):
+    - Small scenes (config 0-3: <= ~48x48 pixels): the XLA path lowers the
+      per-chain scene math to tiny padded batched matmuls and HBM
+      round-trips — the chains-on-lanes VPU kernel is ~3x faster (17.8M vs
+      5.8M grad-evals/s at 10 stars / 32x32 / 1024 chains).
+    - Crowded fields (config 4: 50 stars, 128x128): the per-chain
+      contractions are genuine (128,K)@(K,128) MXU shapes and XLA reaches
+      ~956k grad-evals/s at 1024 chains — ABOVE the fused-VPU roofline
+      (~1.1 T FMA/s / (3*K*H*W) ~ 440k).  Large scenes route to XLA
+      deliberately: this is the MXU/VPU crossover, not a kernel gap.
+
+    The VMEM feasibility bound (three (H, W, 128) f32 fields + profile
+    sets inside the scoped-vmem cap) coincides with the same ~48x48 limit,
+    so one pixel-count test decides both.
+    """
+    return (
+        spec.height * spec.width <= 48 * 48
+        and n_chains % TILE == 0
+        and kmax <= 16
+    )
+
+
 def pick_tile(n_chains: int, spec: SceneSpec, kmax: int) -> int:
     """Chain tile selection.  Measured on the config-2 workload (v5e):
     tile 128 = 13.9M grad-evals/s, tile 256 = 12.1M (slower — the larger
