@@ -131,7 +131,7 @@ def make_pallas_hmc_kernel(
         h0 = states.u + 0.5 * jnp.sum(inv_mass * p0 * p0, axis=(1, 2))
 
         theta_new, p_new, u_new, grad_new = fused(
-            states.theta, p0, eps_c, inv_mass, mask
+            states.theta, p0, eps_c, inv_mass, mask, grad=states.grad
         )
         h1 = u_new + 0.5 * jnp.sum(inv_mass * p_new * p_new, axis=(1, 2))
         energy_error = jnp.where(jnp.isfinite(h1 - h0), h1 - h0, jnp.inf)

@@ -179,10 +179,14 @@ def _grad_eval(theta, mask_col, image, spec: SceneSpec, prior: PriorSpec, kmax: 
 
 
 def _leapfrog_kernel(
-    image_ref, eps_ref, invm_ref, mask_ref, theta_ref, p_ref,
-    theta_out, p_out, u_out, grad_out,
-    *, spec: SceneSpec, prior: PriorSpec, kmax: int, n_steps: int,
+    image_ref, eps_ref, invm_ref, mask_ref, theta_ref, p_ref, *rest,
+    spec: SceneSpec, prior: PriorSpec, kmax: int, n_steps: int, grad_in: bool,
 ):
+    if grad_in:
+        grad_in_ref, theta_out, p_out, u_out, grad_out = rest
+    else:
+        grad_in_ref = None
+        theta_out, p_out, u_out, grad_out = rest
     image = image_ref[:]
     eps = eps_ref[:]            # (1, TILE) per-chain step sizes
     inv_mass = invm_ref[:]      # (3K, 1)
@@ -195,7 +199,14 @@ def _leapfrog_kernel(
     else:
         # Intermediate steps skip the log-likelihood (transcendental-heavy);
         # only the final gradient evaluation computes U for the MH accept.
-        _, grad = _grad_eval(theta, mask_col, image, spec, prior, kmax, with_u=False)
+        # When the caller already holds dU/dtheta at the entry point (HMC
+        # chain state carries it across trajectories), reuse it and save one
+        # of the L+1 gradient evaluations.
+        if grad_in_ref is not None:
+            grad = grad_in_ref[:]
+        else:
+            _, grad = _grad_eval(theta, mask_col, image, spec, prior, kmax,
+                                 with_u=False)
 
         def step(_, carry):
             theta, p, grad = carry
@@ -242,21 +253,24 @@ def make_pallas_leapfrog(
     tile: int | None = None,
 ):
     """Build fused_leapfrog(theta (C,K,3), p (C,K,3), eps, inv_mass (K,3),
-    mask (K,)) -> (theta', p', u' (C,), grad' (C,K,3)).
+    mask (K,), grad=None) -> (theta', p', u' (C,), grad' (C,K,3)).
 
     eps may be a scalar or a per-chain (C,) vector (step-size jitter).
 
-    C must be a multiple of 128.  The trajectory cost is exactly n_steps
-    gradient evaluations per chain (initial gradient computed in-kernel).
+    C must be a multiple of 128.  Pass ``grad`` = dU/dtheta at the entry
+    ``theta`` (HMC chain state carries it between trajectories) to make the
+    trajectory cost exactly n_steps gradient evaluations per chain;
+    otherwise the initial gradient is recomputed in-kernel (n_steps + 1).
     """
     d3 = 3 * kmax
     image_f = image.astype(jnp.float32)
 
-    kernel = partial(
-        _leapfrog_kernel, spec=spec, prior=prior, kmax=kmax, n_steps=n_steps
-    )
-
-    def fused(theta, p, eps, inv_mass, mask):
+    def fused(theta, p, eps, inv_mass, mask, grad=None):
+        grad_in = grad is not None and n_steps > 0
+        kernel = partial(
+            _leapfrog_kernel, spec=spec, prior=prior, kmax=kmax,
+            n_steps=n_steps, grad_in=grad_in,
+        )
         c = theta.shape[0]
         t = pick_tile(c, spec, kmax) if tile is None else tile
         # Auto-shrink to a divisor of C so small per-device shards (e.g.
@@ -274,18 +288,25 @@ def make_pallas_leapfrog(
         ).reshape(1, c)
 
         chain_block = lambda i: (0, i)
+        in_specs = [
+            pl.BlockSpec((spec.height, spec.width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), chain_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d3, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kmax, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+        ]
+        operands = [image_f, eps_arr, invm_t, mask_col, theta_t, p_t]
+        if grad_in:
+            in_specs.append(
+                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM)
+            )
+            operands.append(_pack(grad, kmax))
         out = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((spec.height, spec.width), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((d3, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((kmax, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
@@ -299,7 +320,7 @@ def make_pallas_leapfrog(
                 jax.ShapeDtypeStruct((d3, c), jnp.float32),
             ],
             interpret=interpret,
-        )(image_f, eps_arr, invm_t, mask_col, theta_t, p_t)
+        )(*operands)
 
         theta_new, p_new, u_new, grad_new = out
         return (

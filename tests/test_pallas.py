@@ -64,6 +64,22 @@ def test_fused_leapfrog_mask_freezes():
     np.testing.assert_array_equal(np.asarray(g2)[:, 3, :], 0.0)
 
 
+def test_fused_leapfrog_grad_in_matches_internal():
+    """Passing the entry gradient (carried in the HMC chain state) must
+    reproduce the internally-recomputed trajectory exactly."""
+    cfg, img, mask, grad_fn, theta, p = _setup()
+    inv_mass = jnp.ones((cfg.kmax, 3))
+    fused = make_pallas_leapfrog(cfg.scene, img, cfg.prior, cfg.kmax, 4, interpret=True)
+    eval0 = make_pallas_leapfrog(cfg.scene, img, cfg.prior, cfg.kmax, 0, interpret=True)
+    # entry grad from the kernel's own evaluator -> trajectories must be
+    # bitwise identical to the internally-recomputed path
+    *_, g0 = eval0(theta, p, 0.002, inv_mass, mask)
+    out_a = fused(theta, p, 0.002, inv_mass, mask)
+    out_b = fused(theta, p, 0.002, inv_mass, mask, grad=g0)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_zero_steps_returns_potential():
     cfg, img, mask, grad_fn, theta, p = _setup()
     inv_mass = jnp.ones((cfg.kmax, 3))
