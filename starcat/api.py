@@ -71,6 +71,10 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         # faster there (measured crossover — see pallas_kernels.fused_supported)
         from .pallas_kernels import fused_supported
 
+        if mesh is not None:
+            from .dist import shard_chains
+
+            theta0 = shard_chains(theta0, mesh, mesh.axis_names[0])
         if jax.default_backend() == "tpu" and fused_supported(
             spec, cfg.kmax, cfg.n_chains
         ):
@@ -79,7 +83,8 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
             stats["kernel"] = "pallas_fused"
             res, wr = run_hmc_pallas(
                 jax.random.fold_in(key, 1), spec, img, prior, theta0, mask,
-                cfg.n_samples, cfg.n_warmup, cfg.hmc, block_size=block, **ck,
+                cfg.n_samples, cfg.n_warmup, cfg.hmc, block_size=block,
+                mesh=mesh, **ck,
             )
         else:
             stats["kernel"] = "xla"

@@ -101,6 +101,7 @@ def make_pallas_hmc_kernel(
     mask: jax.Array,
     config: HMCConfig = HMCConfig(),
     interpret: bool = False,
+    mesh=None,
 ):
     """Batched HMC kernel on the fused Pallas leapfrog (SURVEY.md ⑮).
 
@@ -108,6 +109,12 @@ def make_pallas_hmc_kernel(
     kernel (VMEM-resident scene math; ~3x the XLA path's grad-eval
     throughput at equal f32 accuracy on a v5e chip); momentum refresh and
     MH accept stay in XLA.  n_chains must be a multiple of 128.
+
+    With ``mesh`` (1-D chain mesh, dist.make_mesh) the pallas_call is
+    wrapped in shard_map over the chain axis so multi-chip runs keep the
+    fused kernel per shard — pallas_call itself has no GSPMD partitioning
+    rule.  The surrounding momentum refresh / MH accept math is plain XLA
+    and partitions under GSPMD as usual.
     """
     from .pallas_kernels import make_pallas_leapfrog
 
@@ -115,6 +122,20 @@ def make_pallas_hmc_kernel(
     fused = make_pallas_leapfrog(
         spec, image, prior, kmax, config.n_leapfrog, interpret=interpret
     )
+    fused_call = lambda th, pp, e, im, m, g: fused(th, pp, e, im, m, grad=g)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as PSpec
+
+        ax = mesh.axis_names[0]
+        fused_call = jax.shard_map(
+            fused_call, mesh=mesh,
+            in_specs=(PSpec(ax), PSpec(ax), PSpec(ax), PSpec(), PSpec(),
+                      PSpec(ax)),
+            out_specs=(PSpec(ax), PSpec(ax), PSpec(ax), PSpec(ax)),
+            # pallas_call's out_shape carries no varying-mesh-axes info, so
+            # the vma check cannot see through it (as in smc.py)
+            check_vma=False,
+        )
     mask3 = mask[..., None]
 
     def kernel(states: ChainState, eps, inv_mass):
@@ -130,8 +151,8 @@ def make_pallas_hmc_kernel(
         p0 = p0 / jnp.sqrt(inv_mass) * mask3
         h0 = states.u + 0.5 * jnp.sum(inv_mass * p0 * p0, axis=(1, 2))
 
-        theta_new, p_new, u_new, grad_new = fused(
-            states.theta, p0, eps_c, inv_mass, mask, grad=states.grad
+        theta_new, p_new, u_new, grad_new = fused_call(
+            states.theta, p0, eps_c, inv_mass, mask, states.grad
         )
         h1 = u_new + 0.5 * jnp.sum(inv_mass * p_new * p_new, axis=(1, 2))
         energy_error = jnp.where(jnp.isfinite(h1 - h0), h1 - h0, jnp.inf)
@@ -190,13 +211,21 @@ def run_hmc_pallas(
     block_size: int | None = None,
     checkpoint_path: str | None = None,
     resume: bool = False,
+    mesh=None,
 ):
-    """run_hmc on the fused Pallas trajectory kernel (performance path)."""
+    """run_hmc on the fused Pallas trajectory kernel (performance path).
+
+    Pass ``mesh`` (with theta0 sharded over its chain axis, see
+    dist.shard_chains) for multi-chip runs — the fused kernel then runs
+    per-shard under shard_map.
+    """
     from .potential import make_potential_and_grad
 
     pg = make_potential_and_grad(spec, image, prior)
     grad_fn = lambda th: pg(th, mask)
-    kernel = make_pallas_hmc_kernel(spec, image, prior, mask, config, interpret)
+    kernel = make_pallas_hmc_kernel(
+        spec, image, prior, mask, config, interpret, mesh=mesh
+    )
     return run_mcmc(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,

@@ -91,6 +91,33 @@ def test_zero_steps_returns_potential():
     np.testing.assert_allclose(np.asarray(g2), np.asarray(gref), rtol=1e-3, atol=2e-2)
 
 
+def test_pallas_hmc_kernel_sharded_matches_single_device():
+    """shard_map-wrapped fused HMC kernel on the fake 8-device mesh must
+    reproduce the unsharded kernel bitwise (same keys -> same transition)."""
+    from starcat.dist import make_mesh, shard_chains
+    from starcat.hmc import HMCConfig, make_pallas_hmc_kernel
+    from starcat.driver import init_chain_states
+
+    cfg, img, mask, grad_fn, theta, p = _setup(C=256)
+    hcfg = HMCConfig(step_size=0.02, n_leapfrog=3)
+    mesh = make_mesh()
+    inv_mass = jnp.ones((cfg.kmax, 3))
+
+    states = init_chain_states(jax.random.key(11), theta, grad_fn)
+    k_single = make_pallas_hmc_kernel(cfg.scene, img, cfg.prior, mask, hcfg,
+                                      interpret=True)
+    k_shard = make_pallas_hmc_kernel(cfg.scene, img, cfg.prior, mask, hcfg,
+                                     interpret=True, mesh=mesh)
+    out_a, info_a = k_single(states, jnp.asarray(0.02), inv_mass)
+    states_sh = shard_chains(states, mesh)
+    out_b, info_b = k_shard(states_sh, jnp.asarray(0.02), inv_mass)
+    np.testing.assert_array_equal(np.asarray(out_a.theta), np.asarray(out_b.theta))
+    np.testing.assert_array_equal(np.asarray(out_a.u), np.asarray(out_b.u))
+    np.testing.assert_array_equal(
+        np.asarray(info_a.accept_prob), np.asarray(info_b.accept_prob)
+    )
+
+
 @pytest.mark.tpu
 def test_pallas_hmc_matches_hmc_tpu():
     """Statistical agreement of the Pallas-HMC head with the XLA head; only
