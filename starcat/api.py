@@ -135,6 +135,37 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
                      accept=float(np.asarray(res.accept_prob).mean()),
                      divergences=int(np.asarray(res.diverged).sum()))
         masks = np.asarray(mask)
+    elif cfg.head == "transdim":
+        from .pallas_kernels import fused_supported
+        from .transdim_mcmc import run_transdim
+
+        tdm = cfg.tdm
+        # Fused-kernel dispatch mirrors the HMC head: on a TPU with a small
+        # scene and lane-aligned chain count, the within-model move rides
+        # the per-chain-mask Pallas kernels (hmc_pallas / rhmc_pallas).
+        if (jax.default_backend() == "tpu"
+                and fused_supported(spec, cfg.kmax, cfg.n_chains)
+                and tdm.mutation in ("hmc", "rhmc")):
+            tdm = tdm._replace(mutation=tdm.mutation + "_pallas")
+        stats["kernel"] = tdm.mutation
+        logger = None
+        if metrics_path is not None:
+            from .metrics import MetricsLogger
+
+            logger = MetricsLogger(metrics_path, cfg.name)
+        res, eps = run_transdim(
+            jax.random.fold_in(key, 1), spec, img, prior, cfg.kmax,
+            cfg.n_chains, cfg.n_samples, cfg.n_warmup, tdm,
+            block_size=block, logger=logger, **ck,
+        )
+        if logger is not None:
+            logger.close()
+        thetas = np.asarray(res.thetas)
+        masks = np.asarray(res.masks)  # (C, N, K) per-draw alive masks
+        stats.update(step_size=float(eps),
+                     accept=float(np.asarray(res.accept_prob).mean()),
+                     td_accept=float(np.asarray(res.td_accept).mean()),
+                     divergences=int(np.asarray(res.diverged).sum()))
     elif cfg.head == "smc":
         res = run_smc(
             jax.random.fold_in(key, 1), spec, img, prior, cfg.kmax, cfg.smc,
@@ -187,16 +218,30 @@ def _init_chains(key: jax.Array, cfg: RunConfig, truth_theta: jax.Array) -> jax.
 
 
 def summarize_output(out: SampleOutput) -> dict[str, Any]:
-    """Permutation-safe posterior summaries (SURVEY.md ⑱): total flux and
-    per-slot moments for fixed-K runs."""
+    """Permutation-safe posterior summaries (SURVEY.md ⑱): total flux,
+    per-slot moments for fixed-K runs, and the star-count posterior
+    (mode / mean / histogram) for trans-dimensional runs."""
     th = out.thetas  # (C, N, K, 3)
     mask = out.masks
     if mask.ndim == 1:
         alive = mask[None, None, :]
-    else:  # per-particle (SMC)
+    elif mask.ndim == 2:  # per-particle (SMC)
         alive = mask[:, None, :]
+    else:                 # per-draw (trans-d MCMC): (C, N, K)
+        alive = mask
     tot_flux = (np.exp(th[..., 2]) * alive).sum(-1)  # (C, N)
     summ = {"total_flux": diagnostics.summarize(tot_flux)}
+    if mask.ndim >= 2:  # trans-dimensional: star-count posterior over n
+        counts = alive.sum(-1).reshape(-1).astype(int)  # particles or draws
+        kmax = th.shape[2]
+        hist = np.bincount(counts, minlength=kmax + 1)[: kmax + 1]
+        pn = hist / max(counts.size, 1)
+        summ["star_count"] = {
+            "mode": int(np.argmax(hist)),
+            "mean": float(counts.mean()),
+            "sd": float(counts.std()),
+            "pmf": {str(i): round(float(p), 4) for i, p in enumerate(pn) if p > 0},
+        }
     if mask.ndim == 1 and th.shape[2] == 1:
         w = out.config.scene.width
         h = out.config.scene.height

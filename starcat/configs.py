@@ -20,6 +20,7 @@ from .rhmc import RHMCConfig
 from .scene import SceneSpec, make_mock_image
 from .smc import SMCConfig
 from .transdim import TransDimConfig
+from .transdim_mcmc import TransDimMCMCConfig
 
 
 @dataclasses.dataclass(frozen=True)
@@ -29,7 +30,7 @@ class RunConfig:
     prior: PriorSpec
     n_stars: int            # true star count of the mock scene
     kmax: int               # catalog capacity (== n_stars for fixed-K heads)
-    head: str               # "hmc" | "rhmc" | "nuts" | "smc" | "advi" | "oracle"
+    head: str               # "hmc" | "rhmc" | "nuts" | "smc" | "advi" | "transdim" | "oracle"
     n_chains: int = 64
     n_samples: int = 1000
     n_warmup: int = 500
@@ -39,6 +40,7 @@ class RunConfig:
     nuts: NUTSConfig = NUTSConfig()
     rhmc: RHMCConfig = RHMCConfig()
     smc: SMCConfig = SMCConfig()
+    tdm: TransDimMCMCConfig = TransDimMCMCConfig()
     notes: str = ""
 
     def make_truth(self):
@@ -135,6 +137,25 @@ cfg4_crowded = _register(RunConfig(
 ))
 
 
+# config 5: the reference's own sampler shape (SURVEY.md §3.2): a plain
+# trans-dimensional MCMC chain — birth/death/split-merge sweeps interleaved
+# with within-model RHMC transitions, per-chain alive masks
+cfg5_transdim_mcmc = _register(RunConfig(
+    name="cfg5_transdim_mcmc",
+    scene=SceneSpec(32, 32, 1.5, 10.0),
+    prior=PriorSpec(5.0, 0.7),
+    n_stars=10, kmax=16,
+    head="transdim",
+    n_chains=256, n_samples=1000, n_warmup=400,
+    tdm=TransDimMCMCConfig(
+        step_size=0.15, mutation="rhmc", n_leapfrog=6, fixed_point_iters=4,
+        n_transdim_sweeps=2, target_accept=0.8,
+        transdim=TransDimConfig(lam_count=8.0, split_sigma=1.0),
+    ),
+    notes="trans-d RHMC chain (SURVEY.md §3.2 reference call stack)",
+))
+
+
 def _coerce(cur: Any, val: Any) -> Any:
     """Cast a CLI string to the type of the current value."""
     if isinstance(cur, bool):
@@ -142,17 +163,19 @@ def _coerce(cur: Any, val: Any) -> Any:
     return type(cur)(val) if cur is not None else val
 
 
+def _set_dotted(obj: Any, path: list[str], val: Any) -> Any:
+    """Immutably set a (possibly nested) field on a dataclass/NamedTuple."""
+    field, rest = path[0], path[1:]
+    cur = getattr(obj, field)
+    new = _set_dotted(cur, rest, val) if rest else _coerce(cur, val)
+    if isinstance(obj, tuple) and hasattr(obj, "_replace"):  # NamedTuple
+        return obj._replace(**{field: new})
+    return dataclasses.replace(obj, **{field: new})
+
+
 def apply_overrides(cfg: RunConfig, overrides: dict[str, Any]) -> RunConfig:
-    """key=value overrides; one dotted level reaches nested configs
-    (e.g. smc.n_particles=1024, scene.psf_sigma=2.0)."""
-    updates: dict[str, Any] = {}
+    """key=value overrides; dotted keys reach nested configs to any depth
+    (e.g. smc.n_particles=1024, tdm.transdim.lam_count=3.0)."""
     for key, val in overrides.items():
-        if "." in key:
-            base, field = key.split(".", 1)
-            sub = updates.get(base, getattr(cfg, base))
-            if isinstance(sub, tuple) and hasattr(sub, "_replace"):  # NamedTuple
-                sub = sub._replace(**{field: _coerce(getattr(sub, field), val)})
-            updates[base] = sub
-        else:
-            updates[key] = _coerce(getattr(cfg, key), val)
-    return dataclasses.replace(cfg, **updates)
+        cfg = _set_dotted(cfg, key.split("."), val)
+    return cfg

@@ -115,10 +115,13 @@ def make_pallas_hmc_kernel(
     fused kernel per shard — pallas_call itself has no GSPMD partitioning
     rule.  The surrounding momentum refresh / MH accept math is plain XLA
     and partitions under GSPMD as usual.
+
+    mask may be shared (K,) or per-chain (C, K) — the trans-d MCMC head
+    (transdim_mcmc.py) rides this kernel with per-chain alive masks.
     """
     from .pallas_kernels import make_pallas_leapfrog
 
-    kmax = int(mask.shape[0])
+    kmax = int(mask.shape[-1])
     fused = make_pallas_leapfrog(
         spec, image, prior, kmax, config.n_leapfrog, interpret=interpret
     )
@@ -127,9 +130,10 @@ def make_pallas_hmc_kernel(
         from jax.sharding import PartitionSpec as PSpec
 
         ax = mesh.axis_names[0]
+        mask_sp = PSpec(ax) if mask.ndim == 2 else PSpec()
         fused_call = jax.shard_map(
             fused_call, mesh=mesh,
-            in_specs=(PSpec(ax), PSpec(ax), PSpec(ax), PSpec(), PSpec(),
+            in_specs=(PSpec(ax), PSpec(ax), PSpec(ax), PSpec(), mask_sp,
                       PSpec(ax)),
             out_specs=(PSpec(ax), PSpec(ax), PSpec(ax), PSpec(ax)),
             # pallas_call's out_shape carries no varying-mesh-axes info, so

@@ -190,7 +190,7 @@ def _leapfrog_kernel(
     image = image_ref[:]
     eps = eps_ref[:]            # (1, TILE) per-chain step sizes
     inv_mass = invm_ref[:]      # (3K, 1)
-    mask_col = mask_ref[:]      # (K, 1)
+    mask_col = mask_ref[:]      # (K, 1) shared or (K, T) per-chain
     theta = theta_ref[:]        # (3K, TILE)
     p = p_ref[:]
 
@@ -253,9 +253,13 @@ def make_pallas_leapfrog(
     tile: int | None = None,
 ):
     """Build fused_leapfrog(theta (C,K,3), p (C,K,3), eps, inv_mass (K,3),
-    mask (K,), grad=None) -> (theta', p', u' (C,), grad' (C,K,3)).
+    mask (K,) or (C,K), grad=None) -> (theta', p', u' (C,), grad' (C,K,3)).
 
-    eps may be a scalar or a per-chain (C,) vector (step-size jitter).
+    eps may be a scalar or a per-chain (C,) vector (step-size jitter);
+    mask may be shared (K,) or per-chain (C,K) — the trans-dimensional MCMC
+    head (transdim_mcmc.py) carries a different alive mask on every chain,
+    and inside the kernel a (K, T) mask block broadcasts through the same
+    VPU math as the (K, 1) shared column.
 
     C must be a multiple of 128.  Pass ``grad`` = dU/dtheta at the entry
     ``theta`` (HMC chain state carries it between trajectories) to make the
@@ -282,22 +286,29 @@ def make_pallas_leapfrog(
         theta_t = _pack(theta, kmax)
         p_t = _pack(p, kmax)
         invm_t = _pack(inv_mass[None], kmax).reshape(d3, 1)
-        mask_col = mask.reshape(kmax, 1).astype(jnp.float32)
         eps_arr = jnp.broadcast_to(
             jnp.asarray(eps, jnp.float32).reshape(-1), (c,)
         ).reshape(1, c)
 
         chain_block = lambda i: (0, i)
+        if mask.ndim == 2:  # per-chain (C, K) -> (K, C), blocked over chains
+            mask_arr = mask.T.astype(jnp.float32)
+            mask_spec = pl.BlockSpec((kmax, t), chain_block,
+                                     memory_space=pltpu.VMEM)
+        else:               # shared (K,) column, replicated to every tile
+            mask_arr = mask.reshape(kmax, 1).astype(jnp.float32)
+            mask_spec = pl.BlockSpec((kmax, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
         in_specs = [
             pl.BlockSpec((spec.height, spec.width), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t), chain_block, memory_space=pltpu.VMEM),
             pl.BlockSpec((d3, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kmax, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            mask_spec,
             pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
             pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
         ]
-        operands = [image_f, eps_arr, invm_t, mask_col, theta_t, p_t]
+        operands = [image_f, eps_arr, invm_t, mask_arr, theta_t, p_t]
         if grad_in:
             in_specs.append(
                 pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM)
