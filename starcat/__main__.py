@@ -39,7 +39,7 @@ def cmd_run(args):
     cfg = apply_overrides(CONFIGS[args.config], _parse_overrides(args.overrides))
     if cfg.head == "oracle":
         cfg = apply_overrides(cfg, {"head": "hmc"})  # oracle preset -> JAX HMC head
-    out = sample(cfg, seed=args.seed,
+    out = sample(cfg, seed=args.seed, metrics_path=args.metrics,
                  checkpoint_path=args.checkpoint, resume=args.resume)
     summ = summarize_output(out)
     record = {
@@ -72,15 +72,19 @@ def cmd_report(args):
 
 
 def cmd_validate(args):
-    """Config-0 oracle validation (SURVEY.md §3.6)."""
+    """Config-0 oracle validation of EVERY head (SURVEY.md §3.6, §4.2
+    oracle row: "NumPy oracle vs each head").  Each head samples the same
+    single-star scene; flux/position posterior moments must match the
+    oracle within MC error (z-score gate)."""
+    import dataclasses
+
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from . import diagnostics
+    from .api import sample
     from .configs import CONFIGS
-    from .hmc import run_hmc
-    from .potential import make_potential_and_grad, unconstrain, constrain
+    from .potential import constrain
     from oracle.numpy_sampler import run_oracle
 
     cfg = CONFIGS[args.config]
@@ -93,24 +97,39 @@ def cmd_validate(args):
         n_stars=cfg.n_stars, n_chains=4, n_samples=2000, n_warmup=500,
         step_size=0.05, n_leapfrog=15, seed=1, theta0=np.asarray(truth_theta),
     )
-    pg = make_potential_and_grad(cfg.scene, img, cfg.prior)
-    mask = jnp.ones(cfg.kmax)
-    gf = lambda th: pg(th, mask)
-    theta0 = truth_theta[None] + 0.01 * jax.random.normal(
-        jax.random.key(3), (16,) + truth_theta.shape
-    )
-    res, _ = run_hmc(jax.random.key(4), gf, theta0, mask, 1000, 500, cfg.hmc)
-    draws = np.asarray(res.thetas)
+    orc_draws = orc["samples"].reshape(4, -1, cfg.n_stars, 3)
+
+    heads = args.heads.split(",")
     ok = True
     report = {}
-    orc_draws = orc["samples"].reshape(4, -1, cfg.n_stars, 3)
-    for j, nm in enumerate(["ux", "uy", "log_flux"]):
-        cmp = diagnostics.compare_moments(
-            draws[:, :, 0, j], orc_draws[:, :, 0, j], nm
+    for head in heads:
+        hcfg = dataclasses.replace(
+            cfg, head=head, n_chains=16, n_samples=1000, n_warmup=400,
+            smc=cfg.smc._replace(n_particles=2048, mutation="hmc",
+                                 n_leapfrog=15, n_mutation_steps=3),
         )
-        report[nm] = {"z": cmp["z"], "jax": cmp["a"]["mean"], "oracle": cmp["b"]["mean"]}
-        ok &= cmp["z"] < 4.0
-    print(json.dumps({"validated": bool(ok), "moments": report}, default=float))
+        out = sample(hcfg, seed=2)
+        draws = out.thetas  # (C, N, K, 3); SMC/ADVI: (P, 1, K, 3)
+        if draws.shape[1] == 1:
+            draws = np.moveaxis(draws, 0, 1)  # particles on the draw axis
+        hrep = {}
+        hok = True
+        # ADVI is a mean-field APPROXIMATION: means must match, but its
+        # variances are biased low by construction — gate on z of the mean
+        # with a looser threshold (documented approximation, not a bug).
+        zmax = 6.0 if head == "advi" else 4.0
+        for j, nm in enumerate(["ux", "uy", "log_flux"]):
+            cmp = diagnostics.compare_moments(
+                draws[:, :, 0, j], orc_draws[:, :, 0, j], nm
+            )
+            hrep[nm] = {"z": round(cmp["z"], 2),
+                        "head": round(cmp["a"]["mean"], 4),
+                        "oracle": round(cmp["b"]["mean"], 4)}
+            hok &= cmp["z"] < zmax
+        report[head] = {"validated": bool(hok), "moments": hrep}
+        ok &= hok
+    print(json.dumps({"validated": bool(ok), "config": cfg.name,
+                      "heads": report}, default=float))
     sys.exit(0 if ok else 1)
 
 
@@ -126,6 +145,8 @@ def main(argv=None):
     p_run.add_argument("--seed", type=int, default=0)
     p_run.add_argument("--checkpoint", default=None,
                        help="orbax block-checkpoint path (SURVEY.md §5.4)")
+    p_run.add_argument("--metrics", default=None,
+                       help="JSONL per-window metrics sink (SURVEY.md §5.5)")
     p_run.add_argument("--resume", action="store_true",
                        help="continue a crashed run from --checkpoint (§5.3)")
     p_run.add_argument("overrides", nargs="*", help="key=value overrides")
@@ -140,6 +161,8 @@ def main(argv=None):
 
     p_val = sub.add_parser("validate", help="oracle vs JAX validation")
     p_val.add_argument("--config", default="cfg0_single_star")
+    p_val.add_argument("--heads", default="hmc,nuts,chees,rhmc,smc,advi",
+                       help="comma-separated heads to gate against the oracle")
     p_val.set_defaults(fn=cmd_validate)
 
     args = ap.parse_args(argv)

@@ -59,7 +59,12 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
     block = 250 if cfg.n_samples > 300 else None
     if checkpoint_path is not None and block is None:
         block = max(1, cfg.n_samples // 4)  # checkpointing implies blocks
-    ck = dict(checkpoint_path=checkpoint_path, resume=resume)
+    logger = None
+    if metrics_path is not None:
+        from .metrics import MetricsLogger
+
+        logger = MetricsLogger(metrics_path, cfg.name)
+    ck = dict(checkpoint_path=checkpoint_path, resume=resume, logger=logger)
 
     t_start = time.perf_counter()
     stats: dict[str, Any] = {}
@@ -122,12 +127,23 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
                      divergences=int(np.asarray(res.diverged).sum()))
         masks = np.asarray(mask)
     elif cfg.head == "chees":
-        from .chees import ChEESConfig, run_chees
+        from .chees import ChEESConfig, make_fused_leapfrog_impl, run_chees
+        from .pallas_kernels import fused_supported
 
         theta0 = _init_chains(key, cfg, truth_theta)
+        impl = None
+        if jax.default_backend() == "tpu" and fused_supported(
+            spec, cfg.kmax, cfg.n_chains
+        ):
+            # runtime-trip-count fused trajectory kernel: the adapted
+            # n_steps is an SMEM scalar, so ChEES stays on the fast path
+            impl = make_fused_leapfrog_impl(spec, img, prior, cfg.kmax)
+            stats["kernel"] = "pallas_fused_dyn"
+        else:
+            stats["kernel"] = "xla"
         res, ad = run_chees(
             jax.random.fold_in(key, 1), grad_fn, theta0, mask,
-            cfg.n_samples, cfg.n_warmup, ChEESConfig(),
+            cfg.n_samples, cfg.n_warmup, cfg.chees, leapfrog_impl=impl,
         )
         thetas = np.asarray(res.thetas)
         stats.update(step_size=float(ad["step_size"]),
@@ -148,18 +164,11 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
                 and tdm.mutation in ("hmc", "rhmc")):
             tdm = tdm._replace(mutation=tdm.mutation + "_pallas")
         stats["kernel"] = tdm.mutation
-        logger = None
-        if metrics_path is not None:
-            from .metrics import MetricsLogger
-
-            logger = MetricsLogger(metrics_path, cfg.name)
         res, eps = run_transdim(
             jax.random.fold_in(key, 1), spec, img, prior, cfg.kmax,
             cfg.n_chains, cfg.n_samples, cfg.n_warmup, tdm,
-            block_size=block, logger=logger, **ck,
+            block_size=block, **ck,
         )
-        if logger is not None:
-            logger.close()
         thetas = np.asarray(res.thetas)
         masks = np.asarray(res.masks)  # (C, N, K) per-draw alive masks
         stats.update(step_size=float(eps),
@@ -169,7 +178,7 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
     elif cfg.head == "smc":
         res = run_smc(
             jax.random.fold_in(key, 1), spec, img, prior, cfg.kmax, cfg.smc,
-            mesh=mesh,
+            mesh=mesh, **ck,
         )
         thetas = np.asarray(res.theta)[:, None, :, :]
         masks = np.asarray(res.mask)
@@ -195,13 +204,10 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
 
     jax.block_until_ready(jnp.zeros(()))
     stats["wall_seconds"] = time.perf_counter() - t_start
-    if metrics_path is not None:
-        from .metrics import MetricsLogger
-
-        log = MetricsLogger(metrics_path, cfg.name)
-        log.log("run_complete", head=cfg.head,
-                **{k: v for k, v in stats.items() if isinstance(v, (int, float))})
-        log.close()
+    if logger is not None:
+        logger.log("run_complete", head=cfg.head,
+                   **{k: v for k, v in stats.items() if isinstance(v, (int, float))})
+        logger.close()
     stats["truth"] = {
         k: np.asarray(v)
         for k, v in zip("xyf", constrain(truth_theta, spec))
@@ -230,6 +236,10 @@ def summarize_output(out: SampleOutput) -> dict[str, Any]:
     else:                 # per-draw (trans-d MCMC): (C, N, K)
         alive = mask
     tot_flux = (np.exp(th[..., 2]) * alive).sum(-1)  # (C, N)
+    if tot_flux.shape[1] == 1 and tot_flux.shape[0] > 1:
+        # SMC/ADVI outputs are (P, 1): put particles on the draw axis so
+        # sd/MCSE are computed across particles instead of degenerating
+        tot_flux = tot_flux.T
     summ = {"total_flux": diagnostics.summarize(tot_flux)}
     if mask.ndim >= 2:  # trans-dimensional: star-count posterior over n
         counts = alive.sum(-1).reshape(-1).astype(int)  # particles or draws

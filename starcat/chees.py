@@ -81,9 +81,15 @@ def _batched_leapfrog(grad_fn, theta, p, u, grad, eps, n_steps, inv_mass):
 
 def _chees_iteration(
     states: ChainState, grad_fn, eps, inv_mass, mask, u_jit, traj_length,
-    max_leapfrog: int, div_threshold: float,
+    max_leapfrog: int, div_threshold: float, leapfrog_impl=None,
 ):
-    """One jittered-HMC sweep over all chains; returns ChEES grad wrt logT."""
+    """One jittered-HMC sweep over all chains; returns ChEES grad wrt logT.
+
+    leapfrog_impl: optional fused trajectory implementation with signature
+    (theta, p, u, grad, eps, n_steps, inv_mass, mask) -> (theta, p, u, grad)
+    — the runtime-trip-count Pallas kernel (make_fused_leapfrog_impl); the
+    default is the XLA lockstep loop.
+    """
     n_chains = states.theta.shape[0]
     mask3 = mask[..., None]
     keys = jax.vmap(lambda k: jax.random.split(k, 3))(states.key)
@@ -98,9 +104,16 @@ def _chees_iteration(
     p0 = p0 / jnp.sqrt(inv_mass) * mask3
     h0 = states.u + 0.5 * jnp.sum(inv_mass * p0 * p0, axis=(1, 2))
 
-    theta_n, p_n, u_n, grad_n = _batched_leapfrog(
-        grad_fn, states.theta, p0, states.u, states.grad, eps, n_steps, inv_mass
-    )
+    if leapfrog_impl is None:
+        theta_n, p_n, u_n, grad_n = _batched_leapfrog(
+            grad_fn, states.theta, p0, states.u, states.grad, eps, n_steps,
+            inv_mass
+        )
+    else:
+        theta_n, p_n, u_n, grad_n = leapfrog_impl(
+            states.theta, p0, states.u, states.grad, eps, n_steps, inv_mass,
+            mask
+        )
     h1 = u_n + 0.5 * jnp.sum(inv_mass * p_n * p_n, axis=(1, 2))
     e_err = jnp.where(jnp.isfinite(h1 - h0), h1 - h0, jnp.inf)
     accept_prob = jnp.exp(jnp.minimum(0.0, -e_err))
@@ -143,7 +156,25 @@ def _adam_update(st: _AdamState, g, lr, b1=0.9, b2=0.999, eps=1e-8):
     return _AdamState(m, v, t), lr * mh / (jnp.sqrt(vh) + eps)
 
 
-@partial(jax.jit, static_argnames=("grad_fn", "n_warmup", "n_samples", "config"))
+def make_fused_leapfrog_impl(spec, image, prior, kmax: int,
+                             interpret: bool = False):
+    """Trajectory impl for _chees_iteration on the runtime-trip-count fused
+    Pallas kernel (pallas_kernels.make_pallas_leapfrog_dyn): the adapted
+    n_steps is a traced scalar in SMEM, so ChEES keeps one compiled kernel
+    across all trajectory lengths.  n_chains % 128 == 0 (lane tile)."""
+    from .pallas_kernels import make_pallas_leapfrog_dyn
+
+    fused = make_pallas_leapfrog_dyn(spec, image, prior, kmax,
+                                     interpret=interpret)
+
+    def impl(theta, p, u, grad, eps, n_steps, inv_mass, mask):
+        return fused(theta, p, eps, inv_mass, mask, n_steps, grad)
+
+    return impl
+
+
+@partial(jax.jit, static_argnames=("grad_fn", "n_warmup", "n_samples",
+                                   "config", "leapfrog_impl"))
 def _run_chees_jit(
     states: ChainState,
     grad_fn: Callable,
@@ -151,6 +182,7 @@ def _run_chees_jit(
     n_warmup: int,
     n_samples: int,
     config: ChEESConfig,
+    leapfrog_impl=None,
 ):
     param_shape = states.theta.shape[1:]
     n1 = max(n_warmup * 15 // 100, 1)
@@ -164,6 +196,7 @@ def _run_chees_jit(
             st, info, g_logT = _chees_iteration(
                 st, grad_fn, eps, inv_mass, mask, _halton2(i), jnp.exp(log_T),
                 config.max_leapfrog, config.divergence_threshold,
+                leapfrog_impl,
             )
             da = da_update(da, jnp.mean(info.accept_prob), target=config.target_accept)
             adam, delta = _adam_update(adam, g_logT, config.adam_lr)
@@ -207,6 +240,7 @@ def _run_chees_jit(
         st, info, _ = _chees_iteration(
             st, grad_fn, eps, inv_mass, mask, _halton2(i), traj,
             config.max_leapfrog, config.divergence_threshold,
+            leapfrog_impl,
         )
         return st, (st.theta, info.accept_prob, info.diverged)
 
@@ -225,10 +259,14 @@ def run_chees(
     n_samples: int,
     n_warmup: int,
     config: ChEESConfig = ChEESConfig(),
+    leapfrog_impl=None,
 ):
-    """init -> warmup (eps/mass/T adaptation) -> jittered sampling."""
+    """init -> warmup (eps/mass/T adaptation) -> jittered sampling.
+
+    leapfrog_impl: pass make_fused_leapfrog_impl(...) to run trajectories
+    on the runtime-trip-count fused Pallas kernel (TPU fast path)."""
     states = init_chain_states(key, theta0, grad_fn)
     res, eps, inv_mass, traj = _run_chees_jit(
-        states, grad_fn, mask, n_warmup, n_samples, config
+        states, grad_fn, mask, n_warmup, n_samples, config, leapfrog_impl
     )
     return res, {"step_size": eps, "inv_mass": inv_mass, "traj_length": traj}

@@ -13,6 +13,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from .chees import ChEESConfig
 from .hmc import HMCConfig
 from .nuts import NUTSConfig
 from .potential import PriorSpec, constrain, sample_prior
@@ -41,6 +42,7 @@ class RunConfig:
     rhmc: RHMCConfig = RHMCConfig()
     smc: SMCConfig = SMCConfig()
     tdm: TransDimMCMCConfig = TransDimMCMCConfig()
+    chees: ChEESConfig = ChEESConfig()
     notes: str = ""
 
     def make_truth(self):

@@ -57,6 +57,11 @@ class WarmupResult(NamedTuple):
     states: ChainState
     step_size: jax.Array
     inv_mass: jax.Array
+    # per-phase observability (SURVEY.md §5.5): mean acceptance and the
+    # dual-averaged eps at the end of each of the three warmup phases
+    # (None on checkpoint-resume paths, which skip warmup)
+    phase_accept: jax.Array | None = None
+    phase_eps: jax.Array | None = None
 
 
 @partial(jax.jit, static_argnames=("kernel", "n_warmup", "adapt_mass"))
@@ -77,18 +82,20 @@ def warmup(
 
     def make_phase(accumulate: bool, n_steps: int):
         def body(carry, _):
-            st, da, wf, inv_mass = carry
+            st, da, wf, inv_mass, acc = carry
             st, info = batch_kernel(st, jnp.exp(da.log_eps), inv_mass)
-            da = da_update(da, jnp.mean(info.accept_prob), target=target_accept)
+            a = jnp.mean(info.accept_prob)
+            da = da_update(da, a, target=target_accept)
             if accumulate:
                 wf = welford_update_batch(wf, st.theta)
-            return (st, da, wf, inv_mass), None
+            return (st, da, wf, inv_mass, acc + a), None
 
         def run(st, da, wf, inv_mass):
-            (st, da, wf, inv_mass), _ = jax.lax.scan(
-                body, (st, da, wf, inv_mass), None, length=n_steps
+            (st, da, wf, inv_mass, acc), _ = jax.lax.scan(
+                body, (st, da, wf, inv_mass, jnp.zeros(())), None,
+                length=n_steps
             )
-            return st, da, wf, inv_mass
+            return st, da, wf, inv_mass, acc / n_steps
 
         return run
 
@@ -96,14 +103,18 @@ def warmup(
     wf = welford_init(param_shape)
     inv_mass = jnp.ones(param_shape, jnp.float32)
 
-    st, da, wf, inv_mass = make_phase(False, n1)(states, da, wf, inv_mass)
-    st, da, wf, inv_mass = make_phase(adapt_mass, n2)(st, da, wf, inv_mass)
+    st, da, wf, inv_mass, a1 = make_phase(False, n1)(states, da, wf, inv_mass)
+    e1 = jnp.exp(da.log_eps)
+    st, da, wf, inv_mass, a2 = make_phase(adapt_mass, n2)(st, da, wf, inv_mass)
+    e2 = jnp.exp(da.log_eps)
     if adapt_mass:
         inv_mass = welford_variance(wf)
         da = da_restart(da)
-    st, da, wf, inv_mass = make_phase(False, n3)(st, da, wf, inv_mass)
+    st, da, wf, inv_mass, a3 = make_phase(False, n3)(st, da, wf, inv_mass)
+    e3 = jnp.exp(da.log_eps)
 
-    return WarmupResult(st, jnp.exp(da.log_eps_bar), inv_mass)
+    return WarmupResult(st, jnp.exp(da.log_eps_bar), inv_mass,
+                        jnp.stack([a1, a2, a3]), jnp.stack([e1, e2, e3]))
 
 
 class SampleResult(NamedTuple):
@@ -162,6 +173,7 @@ def sample_blocked(
     block_size: int = 250,
     checkpoint_path: str | None = None,
     start_done: int = 0,
+    logger=None,
 ) -> SampleResult:
     """Sampling in fixed-size jit blocks with optional orbax checkpoints.
 
@@ -196,6 +208,10 @@ def sample_blocked(
         aprobs.append(np.asarray(res.accept_prob))
         divs.append(np.asarray(res.diverged))
         done += n
+        if logger is not None:  # per-block observability (SURVEY.md §5.5)
+            logger.log("sampling_block", done=done, n_total=n_samples,
+                       accept=float(aprobs[-1].mean()),
+                       divergences=int(divs[-1].sum()))
         if checkpoint_path is not None:
             from .checkpoint import save_state
 
@@ -230,6 +246,7 @@ def run_mcmc(
     block_size: int | None = None,
     checkpoint_path: str | None = None,
     resume: bool = False,
+    logger=None,
 ):
     """init -> warmup -> sample; returns (SampleResult, WarmupResult).
 
@@ -254,17 +271,26 @@ def run_mcmc(
         res = sample_blocked(
             ck.states, kernel, n_samples, ck.step_size, ck.inv_mass,
             block_size=block_size or 250, checkpoint_path=checkpoint_path,
-            start_done=int(ck.done),
+            start_done=int(ck.done), logger=logger,
         )
         return res, wr
     wr = warmup(
         states, kernel, n_warmup,
         step_size=step_size, target_accept=target_accept, adapt_mass=adapt_mass,
     )
+    if logger is not None:  # per-phase warmup observability (SURVEY.md §5.5)
+        import numpy as np
+
+        pa = np.asarray(wr.phase_accept)
+        pe = np.asarray(wr.phase_eps)
+        for i in range(3):
+            logger.log("warmup_phase", phase=i + 1, accept=float(pa[i]),
+                       step_size=float(pe[i]))
     if block_size is not None:
         res = sample_blocked(
             wr.states, kernel, n_samples, wr.step_size, wr.inv_mass,
             block_size=block_size, checkpoint_path=checkpoint_path,
+            logger=logger,
         )
     else:
         res = sample(wr.states, kernel, n_samples, wr.step_size, wr.inv_mass)

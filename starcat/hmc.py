@@ -189,6 +189,7 @@ def run_hmc(
     block_size: int | None = None,
     checkpoint_path: str | None = None,
     resume: bool = False,
+    logger=None,
 ):
     """Convenience driver: init -> warmup -> sample (SURVEY.md §3.3)."""
     kernel = make_hmc_kernel(grad_fn, mask, config)
@@ -196,7 +197,7 @@ def run_hmc(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,
         adapt_mass=adapt_mass, block_size=block_size,
-        checkpoint_path=checkpoint_path, resume=resume,
+        checkpoint_path=checkpoint_path, resume=resume, logger=logger,
     )
 
 
@@ -215,6 +216,7 @@ def run_hmc_pallas(
     block_size: int | None = None,
     checkpoint_path: str | None = None,
     resume: bool = False,
+    logger=None,
     mesh=None,
 ):
     """run_hmc on the fused Pallas trajectory kernel (performance path).
@@ -234,5 +236,5 @@ def run_hmc_pallas(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,
         adapt_mass=adapt_mass, block_size=block_size,
-        checkpoint_path=checkpoint_path, resume=resume,
+        checkpoint_path=checkpoint_path, resume=resume, logger=logger,
     )

@@ -255,6 +255,7 @@ def run_nuts(
     block_size: int | None = None,
     checkpoint_path: str | None = None,
     resume: bool = False,
+    logger=None,
 ):
     """1024-chain-ready NUTS driver (config 2, BASELINE.json:9)."""
     kernel = make_nuts_kernel(grad_fn, mask, config)
@@ -262,5 +263,5 @@ def run_nuts(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,
         adapt_mass=adapt_mass, block_size=block_size,
-        checkpoint_path=checkpoint_path, resume=resume,
+        checkpoint_path=checkpoint_path, resume=resume, logger=logger,
     )

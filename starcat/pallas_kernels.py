@@ -231,6 +231,130 @@ def _leapfrog_kernel(
     grad_out[:] = grad
 
 
+def _leapfrog_kernel_dyn(
+    nsteps_ref, image_ref, eps_ref, invm_ref, mask_ref, theta_ref, p_ref,
+    grad_in_ref, theta_out, p_out, u_out, grad_out,
+    *, spec: SceneSpec, prior: PriorSpec, kmax: int,
+):
+    """Runtime-trip-count fused leapfrog: n_steps lives in SMEM, so one
+    compiled kernel serves every trajectory length — the lockstep
+    adaptive-length samplers (ChEES, chees.py) pick n_steps per iteration
+    as a traced scalar and still ride the fused path (VERDICT.md round-1
+    item 4).  Requires n_steps >= 1 and the entry gradient (the chain state
+    carries it), so the trajectory costs exactly n_steps gradient evals."""
+    n = nsteps_ref[0]
+    image = image_ref[:]
+    eps = eps_ref[:]            # (1, TILE)
+    inv_mass = invm_ref[:]      # (3K, 1)
+    mask_col = mask_ref[:]      # (K, 1) shared or (K, T) per-chain
+    theta = theta_ref[:]
+    p = p_ref[:]
+    grad = grad_in_ref[:]
+
+    def step(_, carry):
+        theta, p, grad = carry
+        p_half = p - 0.5 * eps * grad
+        theta = theta + eps * inv_mass * p_half
+        _, grad = _grad_eval(theta, mask_col, image, spec, prior, kmax,
+                             with_u=False)
+        p = p_half - 0.5 * eps * grad
+        return theta, p, grad
+
+    theta, p, grad = jax.lax.fori_loop(0, n - 1, step, (theta, p, grad))
+    p_half = p - 0.5 * eps * grad
+    theta = theta + eps * inv_mass * p_half
+    u, grad = _grad_eval(theta, mask_col, image, spec, prior, kmax, with_u=True)
+    p = p_half - 0.5 * eps * grad
+
+    theta_out[:] = theta
+    p_out[:] = p
+    u_out[:] = u[None, :]
+    grad_out[:] = grad
+
+
+def make_pallas_leapfrog_dyn(
+    spec: SceneSpec,
+    image: jax.Array,
+    prior: PriorSpec,
+    kmax: int,
+    interpret: bool = False,
+    tile: int | None = None,
+):
+    """Build fused_dyn(theta (C,K,3), p (C,K,3), eps, inv_mass (K,3),
+    mask (K,) or (C,K), n_steps traced scalar >= 1, grad (C,K,3)) ->
+    (theta', p', u' (C,), grad' (C,K,3)).
+
+    Same math as make_pallas_leapfrog but the trip count is a runtime SMEM
+    scalar: one compile covers all trajectory lengths (ChEES adapts T every
+    iteration; a static-n kernel would recompile per length)."""
+    d3 = 3 * kmax
+    image_f = image.astype(jnp.float32)
+
+    def fused(theta, p, eps, inv_mass, mask, n_steps, grad):
+        kernel = partial(_leapfrog_kernel_dyn, spec=spec, prior=prior, kmax=kmax)
+        c = theta.shape[0]
+        t = pick_tile(c, spec, kmax) if tile is None else tile
+        if c % t:
+            t = math.gcd(c, t)
+        grid = (c // t,)
+        theta_t = _pack(theta, kmax)
+        p_t = _pack(p, kmax)
+        invm_t = _pack(inv_mass[None], kmax).reshape(d3, 1)
+        eps_arr = jnp.broadcast_to(
+            jnp.asarray(eps, jnp.float32).reshape(-1), (c,)
+        ).reshape(1, c)
+        n_arr = jnp.asarray(n_steps, jnp.int32).reshape(1)
+
+        chain_block = lambda i: (0, i)
+        if mask.ndim == 2:
+            mask_arr = mask.T.astype(jnp.float32)
+            mask_spec = pl.BlockSpec((kmax, t), chain_block,
+                                     memory_space=pltpu.VMEM)
+        else:
+            mask_arr = mask.reshape(kmax, 1).astype(jnp.float32)
+            mask_spec = pl.BlockSpec((kmax, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((spec.height, spec.width), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                mask_spec,
+                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((d3, c), jnp.float32),
+                jax.ShapeDtypeStruct((d3, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((d3, c), jnp.float32),
+            ],
+            interpret=interpret,
+        )(n_arr, image_f, eps_arr, invm_t, mask_arr, theta_t, p_t,
+          _pack(grad, kmax))
+
+        theta_new, p_new, u_new, grad_new = out
+        return (
+            _unpack(theta_new, kmax),
+            _unpack(p_new, kmax),
+            u_new[0],
+            _unpack(grad_new, kmax),
+        )
+
+    return fused
+
+
 def _pack(theta: jax.Array, kmax: int) -> jax.Array:
     """(C, K, 3) -> (3K, C) rows [ux; uy; s]."""
     th = jnp.moveaxis(theta, 0, -1)  # (K, 3, C)

@@ -274,6 +274,7 @@ def run_rhmc(
     block_size: int | None = None,
     checkpoint_path: str | None = None,
     resume: bool = False,
+    logger=None,
 ):
     """Config-1 driver: 64-chain RHMC with step-size-only warmup."""
     kernel = make_rhmc_kernel(potential_fn, metric_fn, mask, config)
@@ -281,5 +282,5 @@ def run_rhmc(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,
         adapt_mass=False, block_size=block_size,
-        checkpoint_path=checkpoint_path, resume=resume,
+        checkpoint_path=checkpoint_path, resume=resume, logger=logger,
     )

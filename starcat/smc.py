@@ -339,6 +339,19 @@ def smc_tempering(
                      s.mean_accept, s.beta)
 
 
+@partial(jax.jit, static_argnames=("spec", "prior", "cfg", "mesh"))
+def _smc_step_jit(
+    s: SMCState,
+    spec: SceneSpec,
+    image: jax.Array,
+    prior: PriorSpec,
+    cfg: SMCConfig,
+    mesh=None,
+) -> SMCState:
+    """One temperature step as its own device program (host-stepped loop)."""
+    return make_smc_step(spec, image, prior, cfg, mesh=mesh)(s)
+
+
 def run_smc(
     key: jax.Array,
     spec: SceneSpec,
@@ -347,9 +360,25 @@ def run_smc(
     kmax: int,
     cfg: SMCConfig,
     mesh=None,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
+    logger=None,
 ) -> SMCResult:
     """Full SMC pass (SURVEY.md §3.4).  Pass a dist.make_mesh() to shard the
-    particle axis over devices (config 4)."""
+    particle axis over devices (config 4).
+
+    With ``checkpoint_path`` or ``logger`` the tempering loop is stepped
+    from the host — one jit program per temperature step, reused across
+    steps — so every step can append a JSONL record (beta, logZ, accept,
+    eps — SURVEY.md §5.5) and write an orbax checkpoint of the full
+    SMCState (weights are implicit: post-resample they are equal, and the
+    state is saved at step boundaries — SURVEY.md §5.4).  ``resume=True``
+    continues a crashed pass from the last completed temperature step;
+    the device program is identical to the single-program while_loop path
+    (same make_smc_step), so both paths produce the same tempering
+    trajectory.  Otherwise the whole loop runs as one device program
+    (smc_tempering).
+    """
     s0 = init_smc(key, spec, image, prior, kmax, cfg)
     if mesh is not None:
         from .dist import shard_chains
@@ -359,7 +388,30 @@ def run_smc(
             mask=shard_chains(s0.mask, mesh),
             loglik=shard_chains(s0.loglik, mesh),
         )
-    return smc_tempering(
-        s0, spec, image, prior, cfg,
-        mesh=mesh if cfg.mutation == "rhmc_pallas" else None,
-    )
+    step_mesh = mesh if cfg.mutation == "rhmc_pallas" else None
+
+    if checkpoint_path is None and logger is None:
+        return smc_tempering(s0, spec, image, prior, cfg, mesh=step_mesh)
+
+    import os
+
+    s = s0
+    if resume and checkpoint_path is not None and os.path.exists(checkpoint_path):
+        from .checkpoint import restore_state
+
+        s = restore_state(checkpoint_path, s0)
+    while float(s.beta) < 1.0 and int(s.n_steps) < cfg.max_steps:
+        s = _smc_step_jit(s, spec, image, prior, cfg, mesh=step_mesh)
+        if logger is not None:
+            logger.log(
+                "smc_temperature_step", step=int(s.n_steps),
+                beta=float(s.beta), log_z=float(s.log_z),
+                accept=float(s.mean_accept), step_size=float(s.eps),
+                mean_n=float(jnp.mean(jnp.sum(s.mask, axis=-1))),
+            )
+        if checkpoint_path is not None:
+            from .checkpoint import save_state
+
+            save_state(checkpoint_path, s)
+    return SMCResult(s.theta, s.mask, s.loglik, s.log_z, s.n_steps, s.eps,
+                     s.mean_accept, s.beta)

@@ -15,7 +15,7 @@ from starcat.api import sample, summarize_output
 def test_config_presets_complete():
     assert set(CONFIGS) == {
         "cfg0_single_star", "cfg1_rhmc", "cfg2_nuts",
-        "cfg3_transdim_smc", "cfg4_crowded",
+        "cfg3_transdim_smc", "cfg4_crowded", "cfg5_transdim_mcmc",
     }
     for cfg in CONFIGS.values():
         theta, img = cfg.make_data()

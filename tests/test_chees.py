@@ -4,6 +4,7 @@ stellar scene."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import starcat
 from starcat import diagnostics
@@ -39,6 +40,7 @@ def test_chees_exact_on_gaussian():
     assert 2.0 < t_over_eps < 500.0, (ad["traj_length"], ad["step_size"])
 
 
+@pytest.mark.slow
 def test_chees_matches_nuts_on_scene():
     spec = SceneSpec(16, 16, 1.5, 5.0)
     prior = PriorSpec(5.0, 1.0)

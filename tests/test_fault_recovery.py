@@ -93,6 +93,7 @@ def _run_worker(tmp_path, mode: str, ckpt: str, out: str):
     )
 
 
+@pytest.mark.slow
 def test_sigkill_midrun_then_resume(tmp_path):
     ckpt = str(tmp_path / "ckpt")
     full_out = str(tmp_path / "full.npy")

@@ -106,6 +106,7 @@ def test_nuts_exact_on_correlated_gaussian():
     assert np.abs(corr_emp - corr_true).max() < 0.05
 
 
+@pytest.mark.slow
 def test_nuts_matches_hmc_on_scene():
     """Config-2-style check at small scale: NUTS and HMC sample the same
     stellar posterior -> moments agree within MC error."""

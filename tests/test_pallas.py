@@ -40,6 +40,7 @@ def test_fused_leapfrog_matches_xla_path():
     assert rel.max() < 5e-3, rel.max()
 
 
+@pytest.mark.slow
 def test_fused_leapfrog_per_chain_eps():
     """Per-chain eps vector must match per-chain scalar runs."""
     cfg, img, mask, grad_fn, theta, p = _setup()
@@ -91,6 +92,7 @@ def test_zero_steps_returns_potential():
     np.testing.assert_allclose(np.asarray(g2), np.asarray(gref), rtol=1e-3, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_pallas_hmc_kernel_sharded_matches_single_device():
     """shard_map-wrapped fused HMC kernel on the fake 8-device mesh must
     reproduce the unsharded kernel bitwise (same keys -> same transition)."""
@@ -138,3 +140,22 @@ def test_pallas_hmc_matches_hmc_tpu():
     tot_p = np.exp(np.asarray(res_p.thetas)[..., 2]).sum(-1)
     cmp = diagnostics.compare_moments(tot_p, tot_x, "total_flux")
     assert cmp["z"] < 4.5, cmp
+
+
+def test_fused_leapfrog_dyn_matches_static():
+    """Runtime-trip-count kernel == static-n kernel for every n (the ChEES
+    fast path, VERDICT round-1 item 4)."""
+    from starcat.pallas_kernels import make_pallas_leapfrog, make_pallas_leapfrog_dyn
+
+    cfg, img, mask, grad_fn, theta, p = _setup()
+    inv_mass = jnp.full((cfg.kmax, 3), 0.9)
+    eval0 = make_pallas_leapfrog(cfg.scene, img, cfg.prior, cfg.kmax, 0, interpret=True)
+    *_, g0 = eval0(theta, p, 0.002, inv_mass, mask)
+    dyn = make_pallas_leapfrog_dyn(cfg.scene, img, cfg.prior, cfg.kmax, interpret=True)
+    for n in (1, 3):
+        static = make_pallas_leapfrog(cfg.scene, img, cfg.prior, cfg.kmax, n,
+                                      interpret=True)
+        out_s = static(theta, p, 0.002, inv_mass, mask, grad=g0)
+        out_d = dyn(theta, p, 0.002, inv_mass, mask, jnp.asarray(n), g0)
+        for a, b in zip(out_s, out_d):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

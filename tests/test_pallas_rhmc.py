@@ -8,6 +8,10 @@ import numpy as np
 import pytest
 
 import starcat
+
+# interpret-mode Pallas is slow on CPU; the compiled kernel runs on the
+# chip via bench.py and the SMC/RHMC heads
+pytestmark = pytest.mark.slow
 from starcat import pallas_rhmc as prh
 from starcat.integrators import riemannian_leapfrog
 from starcat.metric import make_metric_fn

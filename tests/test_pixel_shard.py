@@ -3,6 +3,7 @@ and its gradient match the single-device computation on the 8-device mesh."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import starcat
 from starcat.dist import make_mesh, make_pixel_sharded_loglik
@@ -10,6 +11,7 @@ from starcat.potential import PriorSpec, sample_prior
 from starcat.scene import SceneSpec, make_mock_image
 
 
+@pytest.mark.slow
 def test_pixel_sharded_loglik_matches_dense():
     spec = SceneSpec(64, 32, 1.5, 6.0)  # 64 rows / 8 devices
     prior = PriorSpec(4.0, 0.8)

@@ -93,6 +93,7 @@ def test_riemannian_leapfrog_reversible_and_energy():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_rhmc_matches_hmc_on_scene():
     """Config-1-style check: RHMC and HMC moments agree on the single-star scene."""
     img = make_mock_image(

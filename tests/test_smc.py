@@ -87,6 +87,7 @@ def test_smc_matches_hmc_single_star():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_transdim_smc_recovers_star_count():
     """Config 3 (small): 2 bright stars, trans-d SMC concentrates n near 2."""
     spec = SceneSpec(16, 16, 1.5, 3.0)

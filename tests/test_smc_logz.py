@@ -3,6 +3,7 @@ single-star scene (the only SMC output not cross-checked elsewhere)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import starcat
 from starcat.potential import PriorSpec
@@ -10,6 +11,7 @@ from starcat.scene import SceneSpec, make_mock_image
 from starcat.smc import SMCConfig, run_smc
 
 
+@pytest.mark.slow
 def test_smc_logz_matches_quadrature():
     spec = SceneSpec(8, 8, 1.2, 3.0)
     prior = PriorSpec(logf_mean=3.0, logf_sigma=0.5)

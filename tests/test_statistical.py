@@ -19,6 +19,7 @@ SPEC = SceneSpec(12, 12, 1.5, 4.0)
 PRIOR = PriorSpec(logf_mean=4.0, logf_sigma=0.6)
 
 
+@pytest.mark.slow
 def test_geweke_joint_distribution():
     """Successive-conditional simulator: alternate
          data  ~ p(D | theta)          (fresh Poisson draw)

@@ -32,6 +32,7 @@ def _truncated_poisson_pmf(lam, kmax):
     return pmf / pmf.sum()
 
 
+@pytest.mark.slow
 def test_composed_kernel_prior_recovery():
     """beta=0 (flat likelihood): the full head — trans-d sweeps interleaved
     with within-model HMC — must leave the prior invariant: n ~ truncated
@@ -69,6 +70,7 @@ def test_composed_kernel_prior_recovery():
     assert ks.pvalue > 1e-4, ks
 
 
+@pytest.mark.slow
 def test_star_count_recovery_two_stars():
     """2 bright, well-separated stars: the trans-d chain must put the
     posterior mode of n at 2."""
@@ -90,6 +92,7 @@ def test_star_count_recovery_two_stars():
     assert 1.7 < counts.mean() < 2.4, counts.mean()
 
 
+@pytest.mark.slow
 def test_fixed_k_matches_plain_hmc():
     """With trans-d sweeps disabled and all slots alive, the head must
     reproduce the plain HMC head's posterior (same target, same moves)."""
