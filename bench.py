@@ -1,21 +1,28 @@
 #!/usr/bin/env python
-"""Benchmark harness headline (SURVEY.md ⑲; BASELINE.json:2).
+"""Benchmark harness (SURVEY.md ⑲; BASELINE.json:2).
 
-Prints ONE JSON line:
+Prints ONE JSON line (always the LAST line of output):
   {"metric": "leapfrog_grad_evals_per_sec_per_chip", "value": N,
    "unit": "evals/s", "vs_baseline": R}
 
-The workload is the flagship config-2 shape: 1024 vmapped chains on the
-10-star 32x32 scene, timing fused leapfrog trajectories (the hot loop of
-every head — SURVEY.md §3.1 "HOTTEST").  The reference publishes no
-numbers (BASELINE.md), so vs_baseline is the measured speedup over the
-in-repo NumPy oracle's gradient evaluation rate on the SAME scene — the
-reference's implementation technology (single-process CPU NumPy,
-BASELINE.json:7).
+The workload is the flagship config-2 shape: vmapped chains on the 10-star
+32x32 scene, timing fused leapfrog trajectories (the hot loop of every head
+— SURVEY.md §3.1 "HOTTEST").  The reference publishes no numbers
+(BASELINE.md), so vs_baseline is the speedup over the in-repo NumPy
+oracle's gradient-evaluation rate on the SAME scene — the reference's
+implementation technology (single-process CPU NumPy, BASELINE.json:7).
+That baseline is PINNED (measured once, best-of-5 x 2000 evals,
+uncontended) so vs_baseline does not drift run to run; re-measure with
+--retime-baseline.
 
-Runs on whatever backend jax defaults to (the real TPU chip under axon);
-`python bench.py --full` adds secondary metrics (ESS/sec via NUTS) on
-stderr-free extra lines prefixed with '#'.
+Performance-regression gate (SURVEY.md §4.2 perf row): on a real TPU the
+headline rate is asserted against FLOOR_EVALS_PER_SEC; a violation still
+prints the headline JSON but exits 1 with "floor_violation": true.
+
+`--full` measures every secondary metric (XLA path, Riemannian kernel,
+NUTS and ChEES ESS/sec, crowded field, chain-count sweep) and emits them
+as ONE JSON document on the line before the headline (also written to
+BENCH_FULL.json).
 """
 from __future__ import annotations
 
@@ -24,6 +31,17 @@ import json
 import time
 
 import numpy as np
+
+# Pinned reference-technology baseline: oracle/numpy_sampler.OracleModel
+# grad_potential on the config-2 scene, this VM's CPU, best of 5 x 2000
+# evals, measured 2026-08-19 (uncontended).  Round-1 re-timed ~4.7k under
+# load; the pinned value is the FASTER (fairer-to-baseline) measurement.
+NUMPY_BASELINE_EVALS_PER_SEC = 7472.0
+
+# Regression floor for the headline metric on a v5e chip: round-1 recorded
+# 40.7M evals/s at the 32k-chain saturation point (BENCH_r01.json); the
+# floor leaves ~25% headroom for environment jitter.
+FLOOR_EVALS_PER_SEC = 30e6
 
 
 def _bench_setup(n_chains: int):
@@ -146,11 +164,10 @@ def bench_pallas_rhmc_steps(n_chains: int = 1024, n_steps: int = 10,
     return n_chains * n_steps / best, best
 
 
-def bench_numpy_baseline(n_evals: int = 300):
-    """Reference-technology baseline: oracle NumPy grad rate, same scene."""
+def bench_numpy_baseline(n_evals: int = 2000, repeats: int = 3):
+    """Re-measure the reference-technology baseline (--retime-baseline)."""
     import jax
-    import jax.numpy as jnp
-    import starcat
+    import starcat  # noqa: F401
     from starcat.configs import CONFIGS
     from oracle.numpy_sampler import OracleModel
 
@@ -166,23 +183,24 @@ def bench_numpy_baseline(n_evals: int = 300):
         logf_sigma=cfg.prior.logf_sigma,
     )
     theta = np.asarray(truth, np.float64).reshape(-1)
-    model.grad_potential(theta)  # warm caches
-    t0 = time.perf_counter()
-    for _ in range(n_evals):
+    for _ in range(200):
         model.grad_potential(theta)
-    dt = time.perf_counter() - t0
-    return n_evals / dt
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_evals):
+            model.grad_potential(theta)
+        best = min(best, time.perf_counter() - t0)
+    return n_evals / best
 
 
 def bench_ess_per_sec(n_chains: int = 256, n_samples: int = 200, n_warmup: int = 300):
-    """Secondary metric (BASELINE.json:2): ESS/sec on the 10-star 32x32
-    scene via the NUTS head (ESS of the permutation-invariant total flux,
-    pooled across chains, divided by post-warmup wall time)."""
+    """Secondary metric (BASELINE.json:2): NUTS ESS/sec on the 10-star
+    32x32 scene (ESS of the permutation-invariant total flux, pooled
+    across chains, divided by post-warmup wall time)."""
     import jax
-    import jax.numpy as jnp
     import starcat
     from starcat import diagnostics
-    from starcat.configs import CONFIGS
     from starcat.driver import init_chain_states, sample as drv_sample, warmup
     from starcat.nuts import NUTSConfig, make_nuts_kernel
 
@@ -192,7 +210,6 @@ def bench_ess_per_sec(n_chains: int = 256, n_samples: int = 200, n_warmup: int =
     kernel = make_nuts_kernel(grad_fn, mask, NUTSConfig(step_size=0.05, max_depth=8))
     states = init_chain_states(jax.random.key(2), theta0, grad_fn)
     wr = warmup(states, kernel, n_warmup, step_size=0.05)
-    # compile sampling before timing
     r = drv_sample(wr.states, kernel, n_samples, wr.step_size, wr.inv_mass)
     jax.block_until_ready(r.thetas)
     t0 = time.perf_counter()
@@ -204,10 +221,93 @@ def bench_ess_per_sec(n_chains: int = 256, n_samples: int = 200, n_warmup: int =
     return ess / dt, ess, dt
 
 
+def bench_ess_chees(n_chains: int = 256, n_samples: int = 200, n_warmup: int = 300):
+    """ChEES ESS/sec on the same workload/protocol as bench_ess_per_sec —
+    the lockstep adaptive-trajectory head on the runtime-trip-count fused
+    kernel (VERDICT round-1 item 4)."""
+    import jax
+    import starcat
+    from starcat import diagnostics
+    from starcat.chees import ChEESConfig, make_fused_leapfrog_impl, run_chees
+
+    cfg, truth, img, mask, theta0, p0, inv_mass = _bench_setup(n_chains)
+    pg = starcat.make_potential_and_grad(cfg.scene, img, cfg.prior)
+    grad_fn = lambda th: pg(th, mask)
+    from starcat.chees import chees_sample
+
+    impl = make_fused_leapfrog_impl(cfg.scene, img, cfg.prior, cfg.kmax,
+                                    interpret=jax.default_backend() != "tpu")
+    ccfg = ChEESConfig(step_size=0.05)
+    # adapt (eps, mass, T) once, then time a sampling-only continuation —
+    # the same protocol as the NUTS ESS bench (warmup excluded from timing)
+    res, ad = run_chees(jax.random.key(2), grad_fn, theta0, mask,
+                        n_samples, n_warmup, ccfg, leapfrog_impl=impl)
+    r = chees_sample(res.final_states, grad_fn, mask, n_samples,
+                     ad["step_size"], ad["inv_mass"], ad["traj_length"],
+                     ccfg, impl)
+    jax.block_until_ready(r.thetas)
+    t0 = time.perf_counter()
+    r = chees_sample(r.final_states, grad_fn, mask, n_samples,
+                     ad["step_size"], ad["inv_mass"], ad["traj_length"],
+                     ccfg, impl)
+    jax.block_until_ready(r.thetas)
+    dt = time.perf_counter() - t0
+    tot_flux = np.exp(np.asarray(r.thetas)[..., 2]).sum(-1)
+    ess = diagnostics.ess(tot_flux)
+    return ess / dt, ess, dt, float(ad["traj_length"])
+
+
+def bench_crowded_field(n_chains: int = 1024, n_leapfrog: int = 10,
+                        n_scan: int = 10, repeats: int = 3):
+    """Config-4 scene (50 stars, 128x128) on the XLA/MXU path — the
+    deliberate large-scene route (pallas_kernels.fused_supported)."""
+    import jax
+    import jax.numpy as jnp
+    import starcat
+    from starcat.configs import CONFIGS
+    from starcat.integrators import leapfrog
+
+    cfg = CONFIGS["cfg4_crowded"]
+    truth, img = cfg.make_data()
+    mask = jnp.ones(cfg.n_stars)
+    pg = starcat.make_potential_and_grad(cfg.scene, img, cfg.prior)
+    grad_fn = lambda th: pg(th, mask)
+    theta0 = truth[None] + 0.01 * jax.random.normal(
+        jax.random.key(0), (n_chains,) + truth.shape
+    )
+    p0 = jax.random.normal(jax.random.key(1), theta0.shape)
+    inv_mass = jnp.ones(truth.shape)
+
+    @jax.jit
+    def many(theta, p):
+        us, gs = jax.vmap(grad_fn)(theta)
+
+        def body(carry, _):
+            th, pp, u, g = carry
+            res = jax.vmap(
+                lambda t, q, uu, gg: leapfrog(
+                    grad_fn, t, q, uu, gg, jnp.asarray(0.0005), n_leapfrog,
+                    inv_mass)
+            )(th, pp, u, g)
+            return (res.theta, res.p, res.u, res.grad), None
+
+        return jax.lax.scan(body, (theta, p, us, gs), None, length=n_scan)[0]
+
+    out = many(theta0, p0)
+    jax.block_until_ready(out)
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = many(theta0, p0)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return n_chains * n_leapfrog * n_scan / best
+
+
 def main():
     ap = argparse.ArgumentParser()
     # 32768 chains is the single-chip saturation point of the fused kernel
-    # (throughput-vs-chains measured: 1k=18.5M, 8k=28M, 32k=33M evals/s);
+    # (throughput-vs-chains measured round 1: 1k=18.5M, 8k=28M, 32k=40.7M);
     # the sampler state is tiny (3.9 MB), so "thousands of chains" (B:5)
     # runs at the saturated operating point.
     ap.add_argument("--chains", type=int, default=32768)
@@ -215,31 +315,61 @@ def main():
     ap.add_argument("--scan", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--full", action="store_true")
+    ap.add_argument("--retime-baseline", action="store_true",
+                    help="re-measure the NumPy baseline instead of the pin")
     args = ap.parse_args()
 
-    rate, best = bench_pallas_grad_evals(args.chains, args.leapfrog, args.scan, args.repeats)
-    np_rate = bench_numpy_baseline()
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    rate, best = bench_pallas_grad_evals(args.chains, args.leapfrog,
+                                         args.scan, args.repeats)
+    np_rate = (bench_numpy_baseline() if args.retime_baseline
+               else NUMPY_BASELINE_EVALS_PER_SEC)
 
     if args.full:
-        xla_rate, _ = bench_xla_grad_evals(args.chains, args.leapfrog, args.scan, args.repeats)
-        rhmc_rate, rhmc_best = bench_pallas_rhmc_steps(args.chains)
+        full = {
+            "pallas_fused_leapfrog_evals_per_sec": round(rate, 1),
+            "pallas_best_ms": round(best * 1e3, 2),
+            "chains": args.chains,
+        }
+        xla_rate, _ = bench_xla_grad_evals(args.chains, args.leapfrog,
+                                           args.scan, args.repeats)
+        full["xla_leapfrog_evals_per_sec"] = round(xla_rate, 1)
+        full["pallas_vs_xla"] = round(rate / xla_rate, 2)
+        rhmc_rate, rhmc_best = bench_pallas_rhmc_steps(min(args.chains, 1024))
+        full["pallas_rhmc_steps_per_sec"] = round(rhmc_rate, 1)
         ess_rate, ess, dt = bench_ess_per_sec()
-        print(f"# pallas fused leapfrog: {rate:,.0f} grad-evals/s ({best * 1e3:.1f} ms best, "
-              f"{args.chains} chains x {args.leapfrog} steps x {args.scan} scans)")
-        print(f"# xla leapfrog (f32 'highest'): {xla_rate:,.0f} grad-evals/s "
-              f"({rate / xla_rate:.2f}x pallas speedup)")
-        print(f"# pallas fused RIEMANNIAN leapfrog: {rhmc_rate:,.0f} steps/s "
-              f"({rhmc_best * 1e3:.1f} ms/traj; XLA autodiff path ~11.4k steps/s)")
-        print(f"# numpy oracle baseline: {np_rate:,.0f} grad-evals/s (single process)")
-        print(f"# NUTS ESS/sec (total flux, 10-star 32x32): {ess_rate:,.0f} "
-              f"(ESS {ess:,.0f} in {dt:.1f}s post-warmup)")
+        full["nuts_ess_per_sec"] = round(ess_rate, 1)
+        full["nuts_ess"] = round(float(ess), 1)
+        ch_rate, ch_ess, ch_dt, traj = bench_ess_chees()
+        full["chees_ess_per_sec"] = round(ch_rate, 1)
+        full["chees_ess"] = round(float(ch_ess), 1)
+        full["chees_traj_length"] = round(traj, 3)
+        full["crowded_field_xla_evals_per_sec"] = round(bench_crowded_field(), 1)
+        sweep = {}
+        for c in (1024, 8192):
+            r, _ = bench_pallas_grad_evals(c, args.leapfrog, args.scan, 2)
+            sweep[str(c)] = round(r, 1)
+        sweep[str(args.chains)] = round(rate, 1)
+        full["chain_sweep_evals_per_sec"] = sweep
+        full["numpy_baseline_evals_per_sec"] = round(np_rate, 1)
+        with open("BENCH_FULL.json", "w") as fh:
+            json.dump(full, fh, indent=1)
+        print(json.dumps({"bench_full": full}))
 
-    print(json.dumps({
+    headline = {
         "metric": "leapfrog_grad_evals_per_sec_per_chip",
         "value": round(rate, 1),
         "unit": "evals/s",
         "vs_baseline": round(rate / np_rate, 2),
-    }))
+    }
+    floor_violation = on_tpu and rate < FLOOR_EVALS_PER_SEC
+    if floor_violation:
+        headline["floor_violation"] = True
+        headline["floor"] = FLOOR_EVALS_PER_SEC
+    print(json.dumps(headline))
+    raise SystemExit(1 if floor_violation else 0)
 
 
 if __name__ == "__main__":

@@ -65,21 +65,31 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
 
         logger = MetricsLogger(metrics_path, cfg.name)
     ck = dict(checkpoint_path=checkpoint_path, resume=resume, logger=logger)
+    if cfg.head in ("hmc", "oracle", "nuts", "rhmc"):
+        ck["thin"] = cfg.thin  # record every thin-th transition
 
     t_start = time.perf_counter()
     stats: dict[str, Any] = {}
 
-    if cfg.head in ("hmc", "oracle"):
+    # Chain-axis sharding is uniform across the MCMC heads: shard theta0
+    # over the mesh and GSPMD partitions the vmapped kernels, turning the
+    # pooled-warmup reductions into psums (SURVEY.md §5.8).  The fused
+    # Pallas HMC kernel additionally runs per-shard under shard_map
+    # (pallas_call has no GSPMD rule); the pure-XLA heads need nothing else.
+    theta0 = None
+    if cfg.head in ("hmc", "oracle", "nuts", "rhmc", "chees"):
         theta0 = _init_chains(key, cfg, truth_theta)
+        if mesh is not None:
+            from .dist import shard_chains
+
+            theta0 = shard_chains(theta0, mesh, mesh.axis_names[0])
+
+    if cfg.head in ("hmc", "oracle"):
         # MXU/VPU dispatch: small scenes take the fused Pallas trajectory
         # kernel (~3x); crowded fields stay on the XLA/MXU path, which is
         # faster there (measured crossover — see pallas_kernels.fused_supported)
         from .pallas_kernels import fused_supported
 
-        if mesh is not None:
-            from .dist import shard_chains
-
-            theta0 = shard_chains(theta0, mesh, mesh.axis_names[0])
         if jax.default_backend() == "tpu" and fused_supported(
             spec, cfg.kmax, cfg.n_chains
         ):
@@ -103,7 +113,6 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
                      divergences=int(np.asarray(res.diverged).sum()))
         masks = np.asarray(mask)
     elif cfg.head == "nuts":
-        theta0 = _init_chains(key, cfg, truth_theta)
         res, wr = run_nuts(
             jax.random.fold_in(key, 1), grad_fn, theta0, mask,
             cfg.n_samples, cfg.n_warmup, cfg.nuts, block_size=block, **ck,
@@ -114,7 +123,6 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
                      divergences=int(np.asarray(res.diverged).sum()))
         masks = np.asarray(mask)
     elif cfg.head == "rhmc":
-        theta0 = _init_chains(key, cfg, truth_theta)
         pfn = make_potential(spec, img, prior)
         metric = make_metric_fn(spec, prior)
         res, wr = run_rhmc(
@@ -130,7 +138,6 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         from .chees import ChEESConfig, make_fused_leapfrog_impl, run_chees
         from .pallas_kernels import fused_supported
 
-        theta0 = _init_chains(key, cfg, truth_theta)
         impl = None
         if jax.default_backend() == "tpu" and fused_supported(
             spec, cfg.kmax, cfg.n_chains
@@ -159,7 +166,9 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         # Fused-kernel dispatch mirrors the HMC head: on a TPU with a small
         # scene and lane-aligned chain count, the within-model move rides
         # the per-chain-mask Pallas kernels (hmc_pallas / rhmc_pallas).
-        if (jax.default_backend() == "tpu"
+        # Under a mesh the XLA mutations are used (GSPMD partitions them
+        # from the sharded TDState; the pallas kernels have no GSPMD rule).
+        if (jax.default_backend() == "tpu" and mesh is None
                 and fused_supported(spec, cfg.kmax, cfg.n_chains)
                 and tdm.mutation in ("hmc", "rhmc")):
             tdm = tdm._replace(mutation=tdm.mutation + "_pallas")
@@ -167,7 +176,7 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         res, eps = run_transdim(
             jax.random.fold_in(key, 1), spec, img, prior, cfg.kmax,
             cfg.n_chains, cfg.n_samples, cfg.n_warmup, tdm,
-            block_size=block, **ck,
+            block_size=block, mesh=mesh, **ck,
         )
         thetas = np.asarray(res.thetas)
         masks = np.asarray(res.masks)  # (C, N, K) per-draw alive masks

@@ -251,6 +251,35 @@ def _run_chees_jit(
     return res, eps, inv_mass, traj
 
 
+@partial(jax.jit, static_argnames=("grad_fn", "n_samples", "config",
+                                   "leapfrog_impl"))
+def chees_sample(
+    states: ChainState,
+    grad_fn: Callable,
+    mask: jax.Array,
+    n_samples: int,
+    eps: jax.Array,
+    inv_mass: jax.Array,
+    traj: jax.Array,
+    config: ChEESConfig = ChEESConfig(),
+    leapfrog_impl=None,
+) -> SampleResult:
+    """Sampling-only leg at fixed adapted (eps, inv_mass, T) — continuation
+    from run_chees's final state (also the bench's timed leg)."""
+
+    def body(st, i):
+        st, info, _ = _chees_iteration(
+            st, grad_fn, eps, inv_mass, mask, _halton2(i), traj,
+            config.max_leapfrog, config.divergence_threshold, leapfrog_impl,
+        )
+        return st, (st.theta, info.accept_prob, info.diverged)
+
+    st, (thetas, aprob, div) = jax.lax.scan(
+        body, states, jnp.arange(n_samples)
+    )
+    return SampleResult(jnp.moveaxis(thetas, 0, 1), aprob.T, div.T, st)
+
+
 def run_chees(
     key: jax.Array,
     grad_fn: Callable,

@@ -33,8 +33,9 @@ class RunConfig:
     kmax: int               # catalog capacity (== n_stars for fixed-K heads)
     head: str               # "hmc" | "rhmc" | "nuts" | "smc" | "advi" | "transdim" | "oracle"
     n_chains: int = 64
-    n_samples: int = 1000
+    n_samples: int = 1000    # recorded draws
     n_warmup: int = 500
+    thin: int = 1            # transitions per recorded draw (MCMC heads)
     truth_seed: int = 11
     data_seed: int = 12
     hmc: HMCConfig = HMCConfig()

@@ -124,20 +124,38 @@ class SampleResult(NamedTuple):
     final_states: ChainState
 
 
-@partial(jax.jit, static_argnames=("kernel", "n_samples"))
+@partial(jax.jit, static_argnames=("kernel", "n_samples", "thin"))
 def sample(
     states: ChainState,
     kernel: Callable,
     n_samples: int,
     step_size: jax.Array,
     inv_mass: jax.Array,
+    thin: int = 1,
 ) -> SampleResult:
-    """Post-warmup sampling at fixed eps/mass; draws collected on-device."""
+    """Post-warmup sampling at fixed eps/mass; draws collected on-device.
+
+    thin: record every thin-th transition — n_samples draws are RECORDED,
+    n_samples * thin transitions run.  Keeps device/host draw buffers small
+    on long runs (SURVEY.md §5.4 "long multi-host runs"); accept/diverged
+    diagnostics are those of the last transition per record.
+    """
     batch_kernel = _batched(kernel)
 
     def body(st, _):
         st, info = batch_kernel(st, step_size, inv_mass)
-        return st, (st.theta, info.accept_prob, info.diverged)
+        if thin > 1:
+            def sub(_, carry):
+                st, _, _ = carry
+                st, info = batch_kernel(st, step_size, inv_mass)
+                return st, info.accept_prob, info.diverged
+
+            st, ap, dv = jax.lax.fori_loop(
+                1, thin, sub, (st, info.accept_prob, info.diverged)
+            )
+        else:
+            ap, dv = info.accept_prob, info.diverged
+        return st, (st.theta, ap, dv)
 
     st, (thetas, aprob, div) = jax.lax.scan(body, states, None, length=n_samples)
     return SampleResult(jnp.moveaxis(thetas, 0, 1), aprob.T, div.T, st)
@@ -174,6 +192,7 @@ def sample_blocked(
     checkpoint_path: str | None = None,
     start_done: int = 0,
     logger=None,
+    thin: int = 1,
 ) -> SampleResult:
     """Sampling in fixed-size jit blocks with optional orbax checkpoints.
 
@@ -202,7 +221,7 @@ def sample_blocked(
     done = start_done
     while done < n_samples:
         n = min(block_size, n_samples - done)
-        res = sample(states, kernel, n, step_size, inv_mass)
+        res = sample(states, kernel, n, step_size, inv_mass, thin=thin)
         states = res.final_states
         blocks.append(np.asarray(res.thetas))
         aprobs.append(np.asarray(res.accept_prob))
@@ -247,6 +266,7 @@ def run_mcmc(
     checkpoint_path: str | None = None,
     resume: bool = False,
     logger=None,
+    thin: int = 1,
 ):
     """init -> warmup -> sample; returns (SampleResult, WarmupResult).
 
@@ -271,7 +291,7 @@ def run_mcmc(
         res = sample_blocked(
             ck.states, kernel, n_samples, ck.step_size, ck.inv_mass,
             block_size=block_size or 250, checkpoint_path=checkpoint_path,
-            start_done=int(ck.done), logger=logger,
+            start_done=int(ck.done), logger=logger, thin=thin,
         )
         return res, wr
     wr = warmup(
@@ -290,8 +310,9 @@ def run_mcmc(
         res = sample_blocked(
             wr.states, kernel, n_samples, wr.step_size, wr.inv_mass,
             block_size=block_size, checkpoint_path=checkpoint_path,
-            logger=logger,
+            logger=logger, thin=thin,
         )
     else:
-        res = sample(wr.states, kernel, n_samples, wr.step_size, wr.inv_mass)
+        res = sample(wr.states, kernel, n_samples, wr.step_size, wr.inv_mass,
+                     thin=thin)
     return res, wr

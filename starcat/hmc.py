@@ -190,6 +190,7 @@ def run_hmc(
     checkpoint_path: str | None = None,
     resume: bool = False,
     logger=None,
+    thin: int = 1,
 ):
     """Convenience driver: init -> warmup -> sample (SURVEY.md §3.3)."""
     kernel = make_hmc_kernel(grad_fn, mask, config)
@@ -198,6 +199,7 @@ def run_hmc(
         step_size=config.step_size, target_accept=config.target_accept,
         adapt_mass=adapt_mass, block_size=block_size,
         checkpoint_path=checkpoint_path, resume=resume, logger=logger,
+        thin=thin,
     )
 
 
@@ -217,6 +219,7 @@ def run_hmc_pallas(
     checkpoint_path: str | None = None,
     resume: bool = False,
     logger=None,
+    thin: int = 1,
     mesh=None,
 ):
     """run_hmc on the fused Pallas trajectory kernel (performance path).
@@ -237,4 +240,5 @@ def run_hmc_pallas(
         step_size=config.step_size, target_accept=config.target_accept,
         adapt_mass=adapt_mass, block_size=block_size,
         checkpoint_path=checkpoint_path, resume=resume, logger=logger,
+        thin=thin,
     )

@@ -256,6 +256,7 @@ def run_nuts(
     checkpoint_path: str | None = None,
     resume: bool = False,
     logger=None,
+    thin: int = 1,
 ):
     """1024-chain-ready NUTS driver (config 2, BASELINE.json:9)."""
     kernel = make_nuts_kernel(grad_fn, mask, config)
@@ -264,4 +265,5 @@ def run_nuts(
         step_size=config.step_size, target_accept=config.target_accept,
         adapt_mass=adapt_mass, block_size=block_size,
         checkpoint_path=checkpoint_path, resume=resume, logger=logger,
+        thin=thin,
     )

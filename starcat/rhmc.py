@@ -275,6 +275,7 @@ def run_rhmc(
     checkpoint_path: str | None = None,
     resume: bool = False,
     logger=None,
+    thin: int = 1,
 ):
     """Config-1 driver: 64-chain RHMC with step-size-only warmup."""
     kernel = make_rhmc_kernel(potential_fn, metric_fn, mask, config)
@@ -283,4 +284,5 @@ def run_rhmc(
         step_size=config.step_size, target_accept=config.target_accept,
         adapt_mass=False, block_size=block_size,
         checkpoint_path=checkpoint_path, resume=resume, logger=logger,
+        thin=thin,
     )

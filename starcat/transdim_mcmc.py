@@ -298,8 +298,14 @@ def run_transdim(
     checkpoint_path: str | None = None,
     resume: bool = False,
     logger=None,
+    mesh=None,
 ):
     """init -> warmup -> (blocked) sampling for the trans-d MCMC chain.
+
+    mesh: shard the chain axis of the TDState over a device mesh — the
+    vmapped trans-d sweeps and XLA within-model moves partition under
+    GSPMD (chains are embarrassingly parallel; only the pooled
+    dual-averaging acceptance mean reduces across devices).
 
     Mirrors driver.run_mcmc's contract: returns (TDSampleResult, step_size).
     With checkpoint_path, every block writes a TDBlockCheckpoint; with
@@ -317,6 +323,10 @@ def run_transdim(
     states = init_td_states(
         key, spec, image, prior, kmax, n_chains, cfg.transdim.lam_count
     )
+    if mesh is not None:
+        from .dist import shard_chains
+
+        states = shard_chains(states, mesh)
     start_done = 0
     if resume and checkpoint_path is not None and os.path.exists(checkpoint_path):
         from .checkpoint import restore_state

@@ -133,3 +133,29 @@ def test_config0_matches_oracle():
     f_orc = orc["flux"].reshape(4, -1)
     assert diagnostics.compare_moments(x_jax, x_orc)["z"] < 4.0
     assert diagnostics.compare_moments(f_jax, f_orc)["z"] < 4.0
+
+
+def test_thinning_matches_unthinned_subsample():
+    """thin=k records exactly every k-th state of the unthinned chain
+    (same kernel stream; per-chain keys live in ChainState)."""
+    import starcat
+    from starcat.hmc import HMCConfig, run_hmc
+    from starcat.potential import PriorSpec, make_potential_and_grad, sample_prior
+    from starcat.scene import SceneSpec, make_mock_image
+
+    spec = SceneSpec(12, 12, 1.5, 4.0)
+    prior = PriorSpec(3.5, 0.6)
+    truth = sample_prior(jax.random.key(0), 1, prior)
+    x, y, f = starcat.constrain(truth, spec)
+    img = make_mock_image(jax.random.key(1), x, y, f, spec)
+    pg = make_potential_and_grad(spec, img, prior)
+    gf = lambda th: pg(th, jnp.ones(1))
+    theta0 = truth[None] + 0.01 * jax.random.normal(jax.random.key(2), (4, 1, 3))
+    kw = dict(config=HMCConfig(step_size=0.05, n_leapfrog=5))
+
+    res_a, _ = run_hmc(jax.random.key(3), gf, theta0, jnp.ones(1), 30, 20, **kw)
+    res_b, _ = run_hmc(jax.random.key(3), gf, theta0, jnp.ones(1), 10, 20,
+                       thin=3, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(res_a.thetas)[:, 2::3], np.asarray(res_b.thetas)
+    )
