@@ -99,10 +99,12 @@ def reconstruction_plot(
         th = th[None]
     flat = th.reshape(-1, th.shape[-2], 3)  # (C*N, K, 3)
     m = np.asarray(masks)
-    if m.ndim == 1:  # one static mask for every draw
+    if m.ndim == 1:    # one static mask for every draw
         masks_flat = np.broadcast_to(m, (flat.shape[0],) + m.shape)
-    else:  # per-chain/particle masks (C, K): repeat over the draw axis
+    elif m.ndim == 2:  # per-chain/particle masks (C, K): repeat over draws
         masks_flat = np.repeat(m, th.shape[1], axis=0)
+    else:              # per-draw masks (C, N, K) — trans-dimensional MCMC
+        masks_flat = m.reshape(-1, m.shape[-1])
 
     idx = np.linspace(0, flat.shape[0] - 1, min(n_draws, flat.shape[0])).astype(int)
     lam = np.zeros((spec.height, spec.width))

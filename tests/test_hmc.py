@@ -103,8 +103,8 @@ def test_config0_matches_oracle():
 
     # oracle: 4 chains on CPU (the reference call stack, SURVEY.md §3.1)
     orc = run_oracle(
-        np.asarray(img), 1.5, 5.0, 5.0, 1.0, n_chains=4, n_samples=2000,
-        n_warmup=500, step_size=0.05, n_leapfrog=15, seed=1,
+        np.asarray(img), 1.5, 5.0, 5.0, 1.0, n_chains=4, n_samples=1200,
+        n_warmup=400, step_size=0.05, n_leapfrog=15, seed=1,
         theta0=np.asarray(theta_t),
     )
 
@@ -153,8 +153,8 @@ def test_thinning_matches_unthinned_subsample():
     theta0 = truth[None] + 0.01 * jax.random.normal(jax.random.key(2), (4, 1, 3))
     kw = dict(config=HMCConfig(step_size=0.05, n_leapfrog=5))
 
-    res_a, _ = run_hmc(jax.random.key(3), gf, theta0, jnp.ones(1), 30, 20, **kw)
-    res_b, _ = run_hmc(jax.random.key(3), gf, theta0, jnp.ones(1), 10, 20,
+    res_a, _ = run_hmc(jax.random.key(3), gf, theta0, jnp.ones(1), 15, 10, **kw)
+    res_b, _ = run_hmc(jax.random.key(3), gf, theta0, jnp.ones(1), 5, 10,
                        thin=3, **kw)
     np.testing.assert_array_equal(
         np.asarray(res_a.thetas)[:, 2::3], np.asarray(res_b.thetas)

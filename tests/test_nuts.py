@@ -172,7 +172,7 @@ def test_nuts_sharded_matches_single_device():
 
     assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
     cfg = apply_overrides(CONFIGS["cfg0_single_star"], {
-        "head": "nuts", "n_chains": "16", "n_samples": "300", "n_warmup": "150",
+        "head": "nuts", "n_chains": "8", "n_samples": "200", "n_warmup": "100",
     })
     out_a = sample(cfg, seed=3)
     out_b = sample(cfg, seed=3, mesh=make_mesh("chains"))

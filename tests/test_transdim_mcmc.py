@@ -149,10 +149,10 @@ def test_blocked_equals_unblocked_and_resume():
         step_size=0.1, mutation="hmc", n_leapfrog=4, n_transdim_sweeps=1,
         transdim=TransDimConfig(lam_count=2.0),
     )
-    kw = dict(n_chains=16, n_samples=40, n_warmup=20, cfg=cfg)
+    kw = dict(n_chains=8, n_samples=24, n_warmup=12, cfg=cfg)
     res_a, eps_a = run_transdim(jax.random.key(3), SPEC, img, PRIOR, KMAX, **kw)
     res_b, eps_b = run_transdim(jax.random.key(3), SPEC, img, PRIOR, KMAX,
-                                block_size=10, **kw)
+                                block_size=8, **kw)
     np.testing.assert_array_equal(np.asarray(res_a.thetas), np.asarray(res_b.thetas))
     np.testing.assert_array_equal(np.asarray(res_a.masks), np.asarray(res_b.masks))
 
@@ -162,11 +162,11 @@ def test_blocked_equals_unblocked_and_resume():
     with tempfile.TemporaryDirectory() as d:
         ck = os.path.join(d, "td_ckpt")
         res_c, _ = run_transdim(jax.random.key(3), SPEC, img, PRIOR, KMAX,
-                                block_size=10, checkpoint_path=ck, **kw)
+                                block_size=8, checkpoint_path=ck, **kw)
         # simulate a crash that lost the in-memory draws: resume produces
         # zero new draws (run already complete) without re-warming
         res_d, _ = run_transdim(jax.random.key(3), SPEC, img, PRIOR, KMAX,
-                                block_size=10, checkpoint_path=ck,
+                                block_size=8, checkpoint_path=ck,
                                 resume=True, **kw)
         assert res_d.thetas.shape[1] == 0
         np.testing.assert_array_equal(
@@ -226,7 +226,36 @@ def test_transdim_sharded_smoke():
         step_size=0.05, mutation="hmc", n_leapfrog=5, n_transdim_sweeps=1,
         transdim=TransDimConfig(lam_count=2.0),
     )
-    res, _ = run_transdim(jax.random.key(2), SPEC, img, bright, KMAX, 32,
-                          100, 80, cfg, mesh=make_mesh("chains"))
-    counts = np.asarray(res.masks)[:, 50:, :].sum(-1)
+    res, _ = run_transdim(jax.random.key(2), SPEC, img, bright, KMAX, 16,
+                          60, 40, cfg, mesh=make_mesh("chains"))
+    counts = np.asarray(res.masks)[:, 30:, :].sum(-1)
     assert 1.5 < counts.mean() < 3.0, counts.mean()
+
+
+@pytest.mark.slow
+def test_transdim_hmc_pallas_mutation_matches_xla():
+    """mutation='hmc_pallas' (per-chain-mask fused kernel, interpret mode)
+    consumes the same PRNG stream as mutation='hmc', so the composed
+    trans-d kernel must produce the same masks and float-close thetas."""
+    img = make_mock_image(
+        jax.random.key(1), jnp.array([5.0, 11.0]), jnp.array([8.0, 8.0]),
+        jnp.array([80.0, 60.0]), SPEC
+    )
+    kw = dict(step_size=0.03, n_leapfrog=3, n_transdim_sweeps=1,
+              transdim=TransDimConfig(lam_count=2.0))
+    kern_x = make_transdim_kernel(SPEC, img, PRIOR,
+                                  TransDimMCMCConfig(mutation="hmc", **kw))
+    kern_p = make_transdim_kernel(SPEC, img, PRIOR,
+                                  TransDimMCMCConfig(mutation="hmc_pallas", **kw),
+                                  interpret=True)
+    states = init_td_states(jax.random.key(7), SPEC, img, PRIOR, KMAX, 8, 2.0)
+
+    sx, sp = states, states
+    for _ in range(4):
+        sx, ix = kern_x(sx, jnp.asarray(0.03))
+        sp, ip = kern_p(sp, jnp.asarray(0.03))
+    np.testing.assert_array_equal(np.asarray(sx.mask), np.asarray(sp.mask))
+    np.testing.assert_allclose(np.asarray(sx.theta), np.asarray(sp.theta),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sx.loglik), np.asarray(sp.loglik),
+                               rtol=1e-3, atol=0.3)
