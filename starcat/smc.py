@@ -212,7 +212,8 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
                 keys = jax.random.split(k_step, p)
                 th, m, l, _ = jax.vmap(
                     lambda kk, t, mm, ll: transdim_sweep(
-                        kk, t, mm, ll, tllf, prior, spec, cfg.transdim
+                        kk, t, mm, ll, tllf, prior, spec, cfg.transdim,
+                        image=image,
                     )
                 )(keys, th, m, l)
                 return (th, m, l), None

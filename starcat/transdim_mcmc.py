@@ -161,7 +161,8 @@ def make_transdim_kernel(
                 sweep_keys = jax.vmap(lambda k: jax.random.fold_in(k, i))(k_td)
                 th, m, l, info = jax.vmap(
                     lambda kk, t, mm, lc: transdim_sweep(
-                        kk, t, mm, lc, llf, prior, spec, cfg.transdim
+                        kk, t, mm, lc, llf, prior, spec, cfg.transdim,
+                        image=image,
                     )
                 )(sweep_keys, th, m, l)
                 return (th, m, l), info.accepted

@@ -130,3 +130,80 @@ def test_mask_semantics_after_moves():
         m = np.asarray(mask)
         assert set(np.unique(m)).issubset({0.0, 1.0})
         np.testing.assert_allclose(float(ll), float(llf(theta, mask)), rtol=1e-5, atol=1e-4)
+
+
+def test_residual_birth_prior_stationarity_with_real_image():
+    """Detailed balance of the residual-driven birth/death (PCAT-style
+    proposals): with a FLAT likelihood but a non-trivial image driving the
+    proposal, the prior must be STATIONARY — chains initialized at the
+    truncated-Poisson prior stay there (the reverse-proposal density
+    correction is exact for any data).  Stationarity is the sharp form:
+    the mismatched proposal mixes slowly from a cold start, but any error
+    in the q-correction would drift an equilibrium start within steps."""
+    from starcat.transdim import birth_death_step_residual
+
+    img = make_mock_image(
+        jax.random.key(9),
+        jnp.array([4.0, 12.0]), jnp.array([4.0, 12.0]),
+        jnp.array([120.0, 90.0]), SPEC,
+    )
+    cfg = TransDimConfig(lam_count=2.5)
+    flat = lambda t, m: jnp.asarray(0.0, jnp.float32)
+    n_chains = 384
+    theta0 = jax.vmap(lambda k: sample_prior(k, KMAX, PRIOR))(
+        jax.random.split(jax.random.key(0), n_chains)
+    )
+    ks = jnp.arange(KMAX + 1, dtype=jnp.float32)
+    logpmf = ks * jnp.log(2.5) - jax.scipy.special.gammaln(ks + 1.0)
+    n_draw = jax.random.categorical(jax.random.key(5), logpmf, shape=(n_chains,))
+    mask0 = (jnp.arange(KMAX)[None, :] < n_draw[:, None]).astype(jnp.float32)
+
+    def step(carry, _):
+        theta, mask, ll, key = carry
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, n_chains)
+        theta, mask, ll, info = jax.vmap(
+            lambda k, t, m, l: birth_death_step_residual(
+                k, t, m, l, flat, PRIOR, SPEC, img, cfg
+            )
+        )(keys, theta, mask, ll)
+        return (theta, mask, ll, key), mask.sum(-1)
+
+    _, ns = jax.lax.scan(
+        step, (theta0, mask0, jnp.zeros(n_chains), jax.random.key(1)),
+        jnp.arange(600),
+    )
+    counts = np.asarray(ns)[300:].reshape(-1).astype(int)
+    pmf = _truncated_poisson_pmf(2.5, KMAX)
+    emp = np.bincount(counts, minlength=KMAX + 1)[: KMAX + 1] / counts.size
+    assert np.abs(emp - pmf).max() < 0.03, (emp, pmf)
+    assert abs(counts.mean() - (pmf * np.arange(KMAX + 1)).sum()) < 0.15
+
+
+def test_residual_birth_targets_unexplained_star():
+    """With an obvious missing bright star, residual births must hit it far
+    more often than uniform births (the cfg4 crowded-field fix)."""
+    from starcat.transdim import birth_death_step, birth_death_step_residual
+
+    big = SceneSpec(32, 32, 1.5, 5.0)
+    bright = PriorSpec(5.5, 0.4)
+    img = make_mock_image(
+        jax.random.key(1), jnp.array([20.0]), jnp.array([11.0]),
+        jnp.array([260.0]), big,
+    )
+    llf = lambda th, m: starcat.log_likelihood(th, m, big, img)
+    cfg = TransDimConfig(lam_count=1.0)
+    theta0 = sample_prior(jax.random.key(3), KMAX, bright)
+    mask0 = jnp.zeros(KMAX)
+    ll0 = llf(theta0, mask0)
+    keys = jax.random.split(jax.random.key(4), 256)
+
+    out_u = jax.vmap(lambda k: birth_death_step(
+        k, theta0, mask0, ll0, llf, bright, cfg))(keys)
+    out_r = jax.vmap(lambda k: birth_death_step_residual(
+        k, theta0, mask0, ll0, llf, bright, big, img, cfg))(keys)
+    acc_u = np.asarray(out_u[3].accepted).mean()
+    acc_r = np.asarray(out_r[3].accepted).mean()
+    # uniform births hit the star ~pi*r^2/1024 of the time; residual births
+    # should accept at several times that rate
+    assert acc_r > 3 * max(acc_u, 0.01), (acc_u, acc_r)
