@@ -60,6 +60,12 @@ class SMCConfig(NamedTuple):
     n_leapfrog: int = 8
     fixed_point_iters: int = 4
     n_transdim_sweeps: int = 0         # > 0 enables trans-dimensional moves
+    # extra mutation+trans-d rounds AFTER beta reaches 1 (the tempering
+    # loop otherwise stops the moment it lands on the posterior; crowded
+    # fields keep finding faint stars for several more rounds — measured
+    # on cfg4).  At beta=1 the reweight is a no-op (d-beta = 0, equal
+    # weights), so these are pure posterior MCMC rounds.
+    n_final_rounds: int = 0
     step_size0: float = 0.1
     target_accept: float = 0.65
     divergence_threshold: float = 1000.0
@@ -336,6 +342,8 @@ def smc_tempering(
         return (s.beta < 1.0) & (s.n_steps < cfg.max_steps)
 
     s = jax.lax.while_loop(cond, step, s0)
+    if cfg.n_final_rounds > 0:
+        s = jax.lax.fori_loop(0, cfg.n_final_rounds, lambda i, ss: step(ss), s)
     return SMCResult(s.theta, s.mask, s.loglik, s.log_z, s.n_steps, s.eps,
                      s.mean_accept, s.beta)
 
@@ -401,8 +409,9 @@ def run_smc(
         from .checkpoint import restore_state
 
         s = restore_state(checkpoint_path, s0)
-    while float(s.beta) < 1.0 and int(s.n_steps) < cfg.max_steps:
-        s = _smc_step_jit(s, spec, image, prior, cfg, mesh=step_mesh)
+    final_left = cfg.n_final_rounds
+
+    def emit_and_save(s):
         if logger is not None:
             logger.log(
                 "smc_temperature_step", step=int(s.n_steps),
@@ -414,5 +423,16 @@ def run_smc(
             from .checkpoint import save_state
 
             save_state(checkpoint_path, s)
+
+    while float(s.beta) < 1.0 and int(s.n_steps) < cfg.max_steps:
+        s = _smc_step_jit(s, spec, image, prior, cfg, mesh=step_mesh)
+        emit_and_save(s)
+    # NOTE: a run resumed from a beta=1 checkpoint reruns ALL final rounds
+    # (the checkpoint doesn't record how many were completed) — extra
+    # posterior-MCMC rounds are harmless for correctness.
+    while final_left > 0:
+        s = _smc_step_jit(s, spec, image, prior, cfg, mesh=step_mesh)
+        final_left -= 1
+        emit_and_save(s)
     return SMCResult(s.theta, s.mask, s.loglik, s.log_z, s.n_steps, s.eps,
                      s.mean_accept, s.beta)
