@@ -27,6 +27,7 @@ from .advi import ADVIConfig, fit_advi  # noqa: F401
 from .chees import ChEESConfig, run_chees  # noqa: F401
 from .metric import make_metric_fn  # noqa: F401
 from .transdim import TransDimConfig  # noqa: F401
+from .transdim_mcmc import TransDimMCMCConfig, run_transdim  # noqa: F401
 from .configs import CONFIGS, RunConfig, apply_overrides  # noqa: F401
 from .api import sample, summarize_output  # noqa: F401
 
