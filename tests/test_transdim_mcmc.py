@@ -259,3 +259,36 @@ def test_transdim_hmc_pallas_mutation_matches_xla():
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(sx.loglik), np.asarray(sp.loglik),
                                rtol=1e-3, atol=0.3)
+
+
+@pytest.mark.slow
+def test_transdim_mcmc_matches_smc_star_count():
+    """Two independent trans-dimensional samplers — tempered SMC and the
+    trans-d MCMC chain — target the SAME slot-symmetrized posterior, so
+    their star-count pmfs must agree (strong cross-validation: different
+    kernels, different failure modes)."""
+    from starcat.smc import SMCConfig, run_smc
+
+    img = make_mock_image(
+        jax.random.key(21), jnp.array([4.5, 11.5]), jnp.array([11.0, 5.0]),
+        jnp.array([90.0, 70.0]), SPEC,
+    )
+    prior = PriorSpec(logf_mean=4.2, logf_sigma=0.5)
+    td = TransDimConfig(lam_count=2.0, split_sigma=1.0)
+
+    scfg = SMCConfig(n_particles=1024, mutation="hmc", n_mutation_steps=3,
+                     n_leapfrog=8, n_transdim_sweeps=3, max_steps=60,
+                     n_final_rounds=3, transdim=td)
+    res_s = run_smc(jax.random.key(1), SPEC, img, prior, KMAX, scfg)
+    n_s = np.asarray(res_s.mask).sum(-1).astype(int)
+
+    mcfg = TransDimMCMCConfig(step_size=0.1, mutation="hmc", n_leapfrog=8,
+                              n_transdim_sweeps=2, transdim=td)
+    res_m, _ = run_transdim(jax.random.key(2), SPEC, img, prior, KMAX, 64,
+                            400, 200, mcfg)
+    n_m = np.asarray(res_m.masks)[:, 100:, :].sum(-1).reshape(-1).astype(int)
+
+    pmf_s = np.bincount(n_s, minlength=KMAX + 1)[: KMAX + 1] / n_s.size
+    pmf_m = np.bincount(n_m, minlength=KMAX + 1)[: KMAX + 1] / n_m.size
+    assert pmf_s.argmax() == pmf_m.argmax(), (pmf_s, pmf_m)
+    assert abs(n_s.mean() - n_m.mean()) < 0.35, (n_s.mean(), n_m.mean())
