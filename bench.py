@@ -257,6 +257,48 @@ def bench_ess_chees(n_chains: int = 256, n_samples: int = 200, n_warmup: int = 3
     return ess / dt, ess, dt, float(ad["traj_length"])
 
 
+def bench_crowded_mxu(n_chains: int = 1024, n_leapfrog: int = 10,
+                      n_scan: int = 5, repeats: int = 3):
+    """Config-4 scene on the fused MXU trajectory kernel (pallas_mxu.py)."""
+    import jax
+    import jax.numpy as jnp
+    import starcat
+    from starcat.configs import CONFIGS
+    from starcat.pallas_mxu import make_pallas_leapfrog_mxu
+
+    cfg = CONFIGS["cfg4_crowded"]
+    truth, img = cfg.make_data()
+    mask = jnp.ones(cfg.n_stars)
+    pg = starcat.make_potential_and_grad(cfg.scene, img, cfg.prior)
+    theta0 = truth[None] + 0.01 * jax.random.normal(
+        jax.random.key(0), (n_chains,) + truth.shape
+    )
+    p0 = jax.random.normal(jax.random.key(1), theta0.shape)
+    inv_mass = jnp.ones(truth.shape)
+    fused = make_pallas_leapfrog_mxu(cfg.scene, img, cfg.prior, cfg.n_stars,
+                                     n_leapfrog)
+    _, g0 = jax.jit(jax.vmap(lambda th: pg(th, mask)))(theta0)
+
+    @jax.jit
+    def many(theta, p, grad):
+        def body(carry, _):
+            th, pp, g = carry
+            th, pp, _, g = fused(th, pp, 0.0005, inv_mass, mask, grad=g)
+            return (th, pp, g), None
+
+        return jax.lax.scan(body, (theta, p, grad), None, length=n_scan)[0]
+
+    out = many(theta0, p0, g0)
+    jax.block_until_ready(out)
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = many(theta0, p0, g0)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return n_chains * n_leapfrog * n_scan / best
+
+
 def bench_crowded_field(n_chains: int = 1024, n_leapfrog: int = 10,
                         n_scan: int = 10, repeats: int = 3):
     """Config-4 scene (50 stars, 128x128) on the XLA/MXU path — the
@@ -347,6 +389,7 @@ def main():
         full["chees_ess"] = round(float(ch_ess), 1)
         full["chees_traj_length"] = round(traj, 3)
         full["crowded_field_xla_evals_per_sec"] = round(bench_crowded_field(), 1)
+        full["crowded_field_mxu_evals_per_sec"] = round(bench_crowded_mxu(), 1)
         sweep = {}
         for c in (1024, 8192):
             r, _ = bench_pallas_grad_evals(c, args.leapfrog, args.scan, 2)

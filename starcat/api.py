@@ -85,17 +85,18 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
             theta0 = shard_chains(theta0, mesh, mesh.axis_names[0])
 
     if cfg.head in ("hmc", "oracle"):
-        # MXU/VPU dispatch: small scenes take the fused Pallas trajectory
-        # kernel (~3x); crowded fields stay on the XLA/MXU path, which is
-        # faster there (measured crossover — see pallas_kernels.fused_supported)
+        # Kernel dispatch: small scenes take the fused VPU trajectory
+        # kernel (~3x XLA); crowded fields take the fused MXU kernel
+        # (1.29x XLA at the cfg4 shape); anything else stays on XLA
         from .pallas_kernels import fused_supported
+        from .pallas_mxu import mxu_fused_supported
 
-        if jax.default_backend() == "tpu" and fused_supported(
-            spec, cfg.kmax, cfg.n_chains
-        ):
+        vpu_ok = fused_supported(spec, cfg.kmax, cfg.n_chains)
+        mxu_ok = mxu_fused_supported(spec, cfg.kmax, cfg.n_chains)
+        if jax.default_backend() == "tpu" and (vpu_ok or mxu_ok):
             from .hmc import run_hmc_pallas
 
-            stats["kernel"] = "pallas_fused"
+            stats["kernel"] = "pallas_fused_vpu" if vpu_ok else "pallas_fused_mxu"
             res, wr = run_hmc_pallas(
                 jax.random.fold_in(key, 1), spec, img, prior, theta0, mask,
                 cfg.n_samples, cfg.n_warmup, cfg.hmc, block_size=block,

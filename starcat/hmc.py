@@ -118,11 +118,21 @@ def make_pallas_hmc_kernel(
 
     mask may be shared (K,) or per-chain (C, K) — the trans-d MCMC head
     (transdim_mcmc.py) rides this kernel with per-chain alive masks.
+
+    Kernel selection: small scenes take the chains-on-lanes VPU kernel
+    (pallas_kernels.py); crowded fields whose lane fields overflow VMEM
+    take the chains-on-sublanes MXU kernel (pallas_mxu.py, measured 1.29x
+    the XLA path at the cfg4 shape) — both share the call contract.
     """
-    from .pallas_kernels import make_pallas_leapfrog
+    from .pallas_kernels import fused_supported, make_pallas_leapfrog
+    from .pallas_mxu import make_pallas_leapfrog_mxu
 
     kmax = int(mask.shape[-1])
-    fused = make_pallas_leapfrog(
+    if fused_supported(spec, kmax, 128):  # small scene -> VPU kernel
+        maker = make_pallas_leapfrog
+    else:                                 # crowded field -> MXU kernel
+        maker = make_pallas_leapfrog_mxu
+    fused = maker(
         spec, image, prior, kmax, config.n_leapfrog, interpret=interpret
     )
     fused_call = lambda th, pp, e, im, m, g: fused(th, pp, e, im, m, grad=g)

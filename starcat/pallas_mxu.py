@@ -7,12 +7,12 @@ pixels, and at K >= ~50 the per-chain contractions become genuinely
 MXU-shaped: lam = gy_w^T gx is a (H, K) @ (K, W) matmul, and both residual
 contractions are (H, W) @ (W, K).  The XLA path runs those as batched
 matmuls but round-trips every per-step intermediate (lam, resid, profiles
-— ~200 KB/chain/step) through HBM; measured 1.26M grad-evals/s at
+— ~200 KB/chain/step) through HBM; measured ~1.0-1.3M grad-evals/s at
 1024 chains on a v5e — ~25% of the f32-matmul speed-of-light
 (49e12 / (6 K H W) ~ 7.8M evals/s at K=64, 128x128).
 
-This kernel tiles a few chains per grid step (default 8), keeps the whole
-L-step trajectory VMEM-resident (per-tile working set ~3 MB: profiles
+This kernel tiles a few chains per grid step, keeps the whole L-step
+trajectory VMEM-resident (per-tile working set ~3 MB at tile 8: profiles
 4 x (Tc, K, max(H,W)), lam/resid (Tc, H, W), image (H, W)), and runs the
 three contractions per gradient as batched f32 MXU dots:
 
@@ -23,8 +23,13 @@ three contractions per gradient as batched f32 MXU dots:
 with the remaining reductions (d_flux, d_x, d_y, priors, chain rule) as
 small VPU elementwise work.  HBM sees only theta/p/grad in and out per
 TRAJECTORY — the same fusion argument as the small-scene kernel, now on
-the MXU.  Same math as potential.make_potential_and_grad (f32
-"highest"-precision equivalent), cross-checked in tests.
+the MXU.
+
+TPU layout note: operands are packed CHAINS-ON-SUBLANES — (C, 3K) with a
+(tile, 3K) block — because Mosaic requires block last-dims divisible by
+128 (or full); a chain tile of 8 therefore lives on the sublane axis and
+the 3K parameter vector on lanes.  Same math as
+potential.make_potential_and_grad; cross-checked in tests.
 
 Citation note: the reference repo (empty mount, SURVEY.md §0) has no
 counterpart — its NumPy gradient is the dense pixel sum of SURVEY.md §3.1.
@@ -42,75 +47,98 @@ from jax.experimental.pallas import tpu as pltpu
 from .potential import PriorSpec
 from .scene import SceneSpec
 
-MXU_TILE = 8  # chains per grid step
+MXU_TILE = 8  # chains per grid step (sublane group)
 
 
-def _bdot(a, b):
-    """Batched (T, M, K) @ (T, K, N) -> (T, M, N), f32 accumulation."""
+def _dot(a, b):
+    """2-D (M, K) @ (K, N) -> (M, N), f32 accumulation — plain MXU dot."""
     return jax.lax.dot_general(
-        a, b, (((2,), (1,)), ((0,), (0,))),
+        a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-def _grad_eval_mxu(theta, mask_row, image, spec: SceneSpec, prior: PriorSpec,
+def _grad_eval_mxu(theta, mask_tk, image, spec: SceneSpec, prior: PriorSpec,
                    kmax: int, with_u: bool):
-    """Potential + gradient for one chain tile.
+    """Potential + gradient for one chain tile, chains on sublanes.
 
-    theta:    (3K, T) packed [ux; uy; s] (same layout as pallas_kernels)
-    mask_row: (K, 1) shared or (K, T) per-chain alive mask
-    image:    (H, W)
-    returns (u (T,), grad (3K, T))
+    theta:   (T, 3K) packed [ux | uy | s] along lanes
+    mask_tk: (T, K) per-chain alive mask (broadcast from (1, K) if shared)
+    image:   (H, W)
+    returns (u (T,), grad (T, 3K))
+
+    The pixel math is a STATICALLY UNROLLED loop over the tile's chains
+    with plain 2-D MXU dots per chain — Mosaic has no batched-dot lowering
+    (a batched dot_general SIGABRTs the compiler) and no dynamic_slice on
+    values, and a per-chain (H,K)@(K,W) is already a full-width MXU op at
+    crowded-field shapes; unrolling 8 chains also lets Mosaic pipeline the
+    dots.
     """
     k, h, w = kmax, spec.height, spec.width
-    t = theta.shape[-1]
+    t = theta.shape[0]
     sig = spec.psf_sigma
     norm = 1.0 / (math.sqrt(2.0 * math.pi) * sig)
     sig2 = sig * sig
 
-    ux, uy, s = theta[:k], theta[k:2 * k], theta[2 * k:]
-    sx = jax.nn.sigmoid(ux)                      # (K, T)
+    ux = theta[:, 0:k]                           # (T, K)
+    uy = theta[:, k:2 * k]
+    s = theta[:, 2 * k:]
+    sx = jax.nn.sigmoid(ux)
     sy = jax.nn.sigmoid(uy)
     x = w * sx
     y = h * sy
     f = jnp.exp(s)
-    mask_kt = jnp.broadcast_to(mask_row, (k, t))
-    wk = f * mask_kt                             # (K, T)
+    wk = f * mask_tk                             # (T, K)
 
-    # profiles, chains leading: (T, K, W) / (T, K, H)
-    cx = jax.lax.broadcasted_iota(jnp.float32, (1, 1, w), 2) + 0.5
-    cy = jax.lax.broadcasted_iota(jnp.float32, (1, 1, h), 2) + 0.5
-    xt = x.T[:, :, None]                         # (T, K, 1)
-    yt = y.T[:, :, None]
-    dx = cx - xt                                 # (T, K, W)
-    dy = cy - yt                                 # (T, K, H)
-    gx = jnp.exp(-0.5 * (dx / sig) ** 2) * norm  # (T, K, W)
-    gy = jnp.exp(-0.5 * (dy / sig) ** 2) * norm  # (T, K, H)
-    gyw = gy * wk.T[:, :, None]                  # flux-weighted rows
+    cx = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32) + 0.5
+    cyT = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32) + 0.5
+    cxT = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0).astype(jnp.float32) + 0.5
 
-    # lam: (T, H, W) = gyw^T @ gx  per chain  — MXU
-    lam = _bdot(jnp.swapaxes(gyw, 1, 2), gx) + spec.background
-    d = image[None]
-    resid = d / lam - 1.0                        # (T, H, W)
+    d_flux_rows = []
+    d_x_rows = []
+    d_y_rows = []
+    ll_rows = []
+    for c in range(t):                           # static unroll over the tile
+        x_c = x[c:c + 1]                         # (1, K) static slice
+        y_c = y[c:c + 1]
+        wk_c = wk[c:c + 1]
+        # every profile is built NATIVELY in the orientation its consumer
+        # needs — Mosaic relayouts (transposes) between the dots dominate
+        # the runtime otherwise (measured: 651k vs 989k evals/s for XLA)
+        zx = (cx - x_c.T) / sig                  # (K, W)
+        gx_c = jnp.exp(-0.5 * zx * zx) * norm    # (K, W)   lam rhs
+        zxT = (cxT - x_c) / sig                  # (W, K)
+        gxT_c = jnp.exp(-0.5 * zxT * zxT) * norm  # (W, K)
+        dgxT_c = gxT_c * zxT / sig               # (W, K)
+        zyT = (cyT - y_c) / sig                  # (H, K)
+        gyT_c = jnp.exp(-0.5 * zyT * zyT) * norm  # (H, K)
+        dgyT_c = gyT_c * zyT / sig               # (H, K)
+        gywT_c = gyT_c * wk_c                    # (H, K)   lam lhs
+
+        lam_c = _dot(gywT_c, gx_c) + spec.background    # (H, W) MXU
+        resid_c = image / lam_c - 1.0
+        # both residual contractions as ONE (H, W) @ (W, 2K) dot
+        rb_c = _dot(resid_c, jnp.concatenate([gxT_c, dgxT_c], axis=1))
+        rgx_c = rb_c[:, :k]                      # (H, K)
+        rdgx_c = rb_c[:, k:]
+
+        # sublane-sum reductions (measured faster than folding them into a
+        # (1,H)@(H,3K) MXU pass: 1.27M vs 0.91M evals/s)
+        d_flux_rows.append(jnp.sum(gyT_c * rgx_c, axis=0)[None])    # (1, K)
+        d_x_rows.append(jnp.sum(gyT_c * rdgx_c, axis=0)[None] * wk_c)
+        d_y_rows.append(jnp.sum(dgyT_c * rgx_c, axis=0)[None] * wk_c)
+        if with_u:
+            ll_rows.append(jnp.sum(image * jnp.log(lam_c) - lam_c).reshape(1, 1))
+
+    d_flux = jnp.concatenate(d_flux_rows, axis=0)        # (T, K)
+    d_x = jnp.concatenate(d_x_rows, axis=0)
+    d_y = jnp.concatenate(d_y_rows, axis=0)
     if with_u:
-        loglik = jnp.sum(d * jnp.log(lam) - lam, axis=(1, 2))  # (T,)
+        loglik = jnp.concatenate(ll_rows, axis=0)[:, 0]  # (T,)
     else:
         loglik = jnp.zeros((t,), jnp.float32)
 
-    # residual contractions — MXU
-    rgx = _bdot(resid, jnp.swapaxes(gx, 1, 2))    # (T, H, K)
-    dgx = gx * dx / sig2                          # (T, K, W) d gx / d x
-    rdgx = _bdot(resid, jnp.swapaxes(dgx, 1, 2))  # (T, H, K)
-    dgy = gy * dy / sig2                          # (T, K, H)
-
-    # VPU reductions over H: (T, K)
-    rgx_t = jnp.swapaxes(rgx, 1, 2)               # (T, K, H)
-    rdgx_t = jnp.swapaxes(rdgx, 1, 2)
-    d_flux = jnp.sum(gy * rgx_t, axis=2).T        # (K, T)   gy^T R gx
-    d_x = jnp.sum(gy * rdgx_t, axis=2).T * wk     # (K, T)   gy^T R dgx
-    d_y = jnp.sum(dgy * rgx_t, axis=2).T * wk     # (K, T)   dgy^T R gx
-
-    # chain rule + priors (identical to pallas_kernels._grad_eval)
+    # chain rule + priors (identical math to potential.py)
     gl_ux = d_x * w * sx * (1.0 - sx)
     gl_uy = d_y * h * sy * (1.0 - sy)
     gl_s = d_flux * wk
@@ -121,22 +149,22 @@ def _grad_eval_mxu(theta, mask_row, image, spec: SceneSpec, prior: PriorSpec,
     if with_u:
         lp_flux = (-0.5 * zf * zf - math.log(prior.logf_sigma)
                    - 0.5 * math.log(2 * math.pi))
-        lp = jnp.sum((lp_pos + lp_flux) * mask_kt, axis=0)
+        lp = jnp.sum((lp_pos + lp_flux) * mask_tk, axis=1)
     else:
         lp = jnp.zeros((t,), jnp.float32)
 
-    gp_ux = (1.0 - 2.0 * sx) * mask_kt
-    gp_uy = (1.0 - 2.0 * sy) * mask_kt
-    gp_s = -zf / prior.logf_sigma * mask_kt
+    gp_ux = (1.0 - 2.0 * sx) * mask_tk
+    gp_uy = (1.0 - 2.0 * sy) * mask_tk
+    gp_s = -zf / prior.logf_sigma * mask_tk
 
     grad = jnp.concatenate(
         [
-            -(gl_ux * mask_kt + gp_ux),
-            -(gl_uy * mask_kt + gp_uy),
+            -(gl_ux * mask_tk + gp_ux),
+            -(gl_uy * mask_tk + gp_uy),
             -(gl_s + gp_s),          # gl_s already carries wk = f*mask
         ],
-        axis=0,
-    )
+        axis=1,
+    )                                # (T, 3K)
     return -(loglik + lp), grad
 
 
@@ -150,27 +178,27 @@ def _mxu_leapfrog_kernel(
         grad_in_ref = None
         theta_out, p_out, u_out, grad_out = rest
     image = image_ref[:]
-    eps = eps_ref[:]
-    inv_mass = invm_ref[:]
-    mask_row = mask_ref[:]
-    theta = theta_ref[:]
+    eps = eps_ref[:]            # (T, 1)
+    inv_mass = invm_ref[:]      # (1, 3K)
+    mask_tk = jnp.broadcast_to(mask_ref[:], (theta_ref.shape[0], kmax))
+    theta = theta_ref[:]        # (T, 3K)
     p = p_ref[:]
 
     if n_steps == 0:
-        u, grad = _grad_eval_mxu(theta, mask_row, image, spec, prior, kmax,
+        u, grad = _grad_eval_mxu(theta, mask_tk, image, spec, prior, kmax,
                                  with_u=True)
     else:
         if grad_in_ref is not None:
             grad = grad_in_ref[:]
         else:
-            _, grad = _grad_eval_mxu(theta, mask_row, image, spec, prior,
+            _, grad = _grad_eval_mxu(theta, mask_tk, image, spec, prior,
                                      kmax, with_u=False)
 
         def step(_, carry):
             theta, p, grad = carry
             p_half = p - 0.5 * eps * grad
             theta = theta + eps * inv_mass * p_half
-            _, grad = _grad_eval_mxu(theta, mask_row, image, spec, prior,
+            _, grad = _grad_eval_mxu(theta, mask_tk, image, spec, prior,
                                      kmax, with_u=False)
             p = p_half - 0.5 * eps * grad
             return theta, p, grad
@@ -179,20 +207,20 @@ def _mxu_leapfrog_kernel(
                                            (theta, p, grad))
         p_half = p - 0.5 * eps * grad
         theta = theta + eps * inv_mass * p_half
-        u, grad = _grad_eval_mxu(theta, mask_row, image, spec, prior, kmax,
+        u, grad = _grad_eval_mxu(theta, mask_tk, image, spec, prior, kmax,
                                  with_u=True)
         p = p_half - 0.5 * eps * grad
 
     theta_out[:] = theta
     p_out[:] = p
-    u_out[:] = u[None, :]
+    u_out[:] = u[:, None]
     grad_out[:] = grad
 
 
 def mxu_fused_supported(spec: SceneSpec, kmax: int, n_chains: int,
                         tile: int = MXU_TILE) -> bool:
     """VMEM feasibility of the MXU trajectory kernel: the per-tile working
-    set (4 profile sets (T,K,max(H,W)) + 2 pixel fields (T,H,W) + image)
+    set (4 profile sets (T,K,max(H,W)) + 3 pixel fields (T,H,W) + image)
     must fit comfortably inside ~12 MB of VMEM."""
     t = tile
     prof = 4 * t * kmax * max(spec.height, spec.width) * 4
@@ -200,6 +228,21 @@ def mxu_fused_supported(spec: SceneSpec, kmax: int, n_chains: int,
     return (
         n_chains % tile == 0
         and prof + fields + spec.height * spec.width * 4 < 12 * 2**20
+    )
+
+
+def _pack_rows(theta: jax.Array, kmax: int) -> jax.Array:
+    """(C, K, 3) -> (C, 3K) rows [ux | uy | s]."""
+    return jnp.concatenate(
+        [theta[:, :, 0], theta[:, :, 1], theta[:, :, 2]], axis=1
+    )
+
+
+def _unpack_rows(packed: jax.Array, kmax: int) -> jax.Array:
+    """(C, 3K) -> (C, K, 3)."""
+    return jnp.stack(
+        [packed[:, :kmax], packed[:, kmax:2 * kmax], packed[:, 2 * kmax:]],
+        axis=-1,
     )
 
 
@@ -216,8 +259,6 @@ def make_pallas_leapfrog_mxu(
     pallas_kernels.make_pallas_leapfrog — fused(theta (C,K,3), p, eps,
     inv_mass (K,3), mask (K,) or (C,K), grad=None) -> (theta', p', u', grad').
     """
-    from .pallas_kernels import _pack, _unpack
-
     d3 = 3 * kmax
     image_f = image.astype(jnp.float32)
 
@@ -232,52 +273,52 @@ def make_pallas_leapfrog_mxu(
         if c % t:
             t = math.gcd(c, t)
         grid = (c // t,)
-        theta_t = _pack(theta, kmax)
-        p_t = _pack(p, kmax)
-        invm_t = _pack(inv_mass[None], kmax).reshape(d3, 1)
+        theta_t = _pack_rows(theta, kmax)                       # (C, 3K)
+        p_t = _pack_rows(p, kmax)
+        invm_t = _pack_rows(inv_mass[None], kmax)               # (1, 3K)
         eps_arr = jnp.broadcast_to(
             jnp.asarray(eps, jnp.float32).reshape(-1), (c,)
-        ).reshape(1, c)
+        ).reshape(c, 1)
 
-        chain_block = lambda i: (0, i)
-        if mask.ndim == 2:
-            mask_arr = mask.T.astype(jnp.float32)
-            mask_spec = pl.BlockSpec((kmax, t), chain_block,
+        chain_block = lambda i: (i, 0)
+        if mask.ndim == 2:  # per-chain (C, K), blocked over chain rows
+            mask_arr = mask.astype(jnp.float32)
+            mask_spec = pl.BlockSpec((t, kmax), chain_block,
                                      memory_space=pltpu.VMEM)
-        else:
-            mask_arr = mask.reshape(kmax, 1).astype(jnp.float32)
-            mask_spec = pl.BlockSpec((kmax, 1), lambda i: (0, 0),
+        else:               # shared (1, K), replicated to every tile
+            mask_arr = mask.reshape(1, kmax).astype(jnp.float32)
+            mask_spec = pl.BlockSpec((1, kmax), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
         in_specs = [
             pl.BlockSpec((spec.height, spec.width), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), chain_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((d3, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 1), chain_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             mask_spec,
-            pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, d3), chain_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, d3), chain_block, memory_space=pltpu.VMEM),
         ]
         operands = [image_f, eps_arr, invm_t, mask_arr, theta_t, p_t]
         if grad_in:
             in_specs.append(
-                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM)
+                pl.BlockSpec((t, d3), chain_block, memory_space=pltpu.VMEM)
             )
-            operands.append(_pack(grad, kmax))
+            operands.append(_pack_rows(grad, kmax))
         out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t), chain_block, memory_space=pltpu.VMEM),
-                pl.BlockSpec((d3, t), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, d3), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, d3), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 1), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, d3), chain_block, memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((d3, c), jnp.float32),
-                jax.ShapeDtypeStruct((d3, c), jnp.float32),
-                jax.ShapeDtypeStruct((1, c), jnp.float32),
-                jax.ShapeDtypeStruct((d3, c), jnp.float32),
+                jax.ShapeDtypeStruct((c, d3), jnp.float32),
+                jax.ShapeDtypeStruct((c, d3), jnp.float32),
+                jax.ShapeDtypeStruct((c, 1), jnp.float32),
+                jax.ShapeDtypeStruct((c, d3), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=96 * 2**20,
@@ -287,10 +328,10 @@ def make_pallas_leapfrog_mxu(
 
         theta_new, p_new, u_new, grad_new = out
         return (
-            _unpack(theta_new, kmax),
-            _unpack(p_new, kmax),
-            u_new[0],
-            _unpack(grad_new, kmax),
+            _unpack_rows(theta_new, kmax),
+            _unpack_rows(p_new, kmax),
+            u_new[:, 0],
+            _unpack_rows(grad_new, kmax),
         )
 
     return fused
