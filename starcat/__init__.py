@@ -30,5 +30,12 @@ from .transdim import TransDimConfig  # noqa: F401
 from .transdim_mcmc import TransDimMCMCConfig, run_transdim  # noqa: F401
 from .configs import CONFIGS, RunConfig, apply_overrides  # noqa: F401
 from .api import sample, summarize_output  # noqa: F401
+from .catalogs import (  # noqa: F401
+    catalog_report,
+    completeness_purity,
+    condense,
+    extract_catalogs,
+    match_catalogs,
+)
 
 __version__ = "0.1.0"

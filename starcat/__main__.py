@@ -64,11 +64,22 @@ def cmd_report(args):
     cfg = apply_overrides(CONFIGS[args.config], _parse_overrides(args.overrides))
     if cfg.head == "oracle":
         cfg = apply_overrides(cfg, {"head": "hmc"})
-    _, img = cfg.make_data()
+    truth, img = cfg.make_data()
     out = sample(cfg, seed=args.seed, image=img)
     paths = save_report(out, np.asarray(img), args.out_prefix)
+    # catalog-level summary (condensed catalog + completeness/purity vs
+    # the mock truth, starcat/catalogs.py)
+    from .catalogs import catalog_report
+
+    cat = catalog_report(out, truth_theta=truth)
+    cat_path = f"{args.out_prefix}_catalog.json"
+    with open(cat_path, "w") as fh:
+        json.dump(cat, fh, default=float)
+    paths.append(cat_path)
     print(json.dumps({"config": cfg.name, "plots": paths,
-                      "summary": summarize_output(out)}, default=float))
+                      "summary": summarize_output(out),
+                      "condensed_sources": cat["n_condensed_ge_half"]},
+                     default=float))
 
 
 def cmd_validate(args):
