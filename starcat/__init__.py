@@ -25,7 +25,7 @@ from .rhmc import RHMCConfig, run_rhmc, run_rhmc_pallas  # noqa: F401
 from .smc import SMCConfig, run_smc  # noqa: F401
 from .advi import ADVIConfig, fit_advi  # noqa: F401
 from .chees import ChEESConfig, run_chees  # noqa: F401
-from .metric import make_metric_fn  # noqa: F401
+from .metric import make_diag_metric_fn, make_metric_fn  # noqa: F401
 from .transdim import TransDimConfig  # noqa: F401
 from .transdim_mcmc import TransDimMCMCConfig, run_transdim  # noqa: F401
 from .configs import CONFIGS, RunConfig, apply_overrides  # noqa: F401

@@ -88,3 +88,33 @@ def make_metric_fn(spec: SceneSpec, prior: PriorSpec, jitter: float = 1e-3):
         return g + jitter * jnp.eye(d, dtype=theta.dtype)
 
     return metric
+
+
+def make_diag_metric_fn(spec: SceneSpec, prior: PriorSpec, jitter: float = 1e-3):
+    """Diagonal-Fisher metric: diag(theta, mask) -> g, a (3K,) vector equal
+    to the DIAGONAL of make_metric_fn's full matrix (exactly — tested).
+
+    Rationale (measured, round 2): the full-metric RHMC mutation at the
+    crowded-field shape (K=50, 128x128) is dominated by the (3K, P)@(P, 3K)
+    Fisher contraction and the autodiff through it + the Cholesky, repeated
+    every Picard sweep.  The diagonal g_a = sum_p J[a,p]^2 / lam_p keeps the
+    metric position-dependent (the Hamiltonian is still non-separable and
+    still adapts to per-star flux/position information) but costs O(3K*P)
+    instead of O((3K)^2 * P), needs no Cholesky (momenta ~ N(0, diag g)),
+    and its dH/dtheta is one cheap reverse-mode grad.  MH acceptance is
+    exact for whichever metric is used — the metric choice only affects
+    mixing, not the invariant distribution.
+    """
+
+    def diag_metric(theta: jax.Array, mask: jax.Array, beta=1.0) -> jax.Array:
+        lam, j = scene_jacobian(theta, mask, spec)     # (H,W), (K,3,H,W)
+        fisher = jnp.einsum(
+            "kahw,kahw->ka", j / lam[None, None], j, precision="highest"
+        )                                              # (K, 3) elementwise-sq reduce
+        info = prior_information(theta, mask, prior)   # (K, 3)
+        g = beta * fisher + info
+        m3 = mask[:, None]
+        g = g * m3 + (1.0 - m3)                        # dead slots exactly 1
+        return g.reshape(-1) + jitter                  # (3K,)
+
+    return diag_metric

@@ -85,6 +85,32 @@ def make_rhmc_functions(potential_fn: Callable, metric_fn: Callable):
     return ham, dham_dtheta, dham_dp
 
 
+def make_rhmc_diag_functions(potential_fn: Callable, diag_metric_fn: Callable):
+    """Hamiltonian callables for a DIAGONAL position-dependent metric
+    (metric.make_diag_metric_fn).  Same generalized-leapfrog contract as
+    make_rhmc_functions, but log det is a log-sum, G^-1 p is a divide, and
+    dH/dtheta needs no Cholesky differentiation — the cheap Riemannian
+    path for crowded-field scenes (SMC mutation "rhmc_diag").
+    """
+
+    def ham(theta_flat, p, mask):
+        theta = theta_flat.reshape(-1, 3)
+        g = diag_metric_fn(theta, mask)                # (3K,)
+        return (
+            potential_fn(theta, mask)
+            + 0.5 * jnp.sum(jnp.log(g))
+            + 0.5 * jnp.sum(p * p / g)
+        )
+
+    dham_dtheta = jax.grad(jax.checkpoint(ham), argnums=0)
+
+    def dham_dp(theta_flat, p, mask):
+        theta = theta_flat.reshape(-1, 3)
+        return p / diag_metric_fn(theta, mask)
+
+    return ham, dham_dtheta, dham_dp
+
+
 def rhmc_step(
     state: ChainState,
     potential_fn: Callable,
@@ -97,8 +123,13 @@ def rhmc_step(
     fixed_point_iters: int,
     mask: jax.Array,
     divergence_threshold: float = 1000.0,
+    diag_metric: bool = False,
 ):
-    """One RHMC transition for a single chain (vmap over chains in driver)."""
+    """One RHMC transition for a single chain (vmap over chains in driver).
+
+    diag_metric=True: metric_fn returns the (3K,) diagonal metric and the
+    momentum refresh is p ~ N(0, diag g) — no Cholesky.
+    """
     key, k_mom, k_acc, k_jit = jax.random.split(state.key, 4)
     kshape = state.theta.shape
     theta0 = state.theta.reshape(-1)
@@ -107,9 +138,12 @@ def rhmc_step(
     eps_j = eps * (0.8 + 0.4 * jax.random.uniform(k_jit))
 
     g = metric_fn(state.theta, mask)
-    chol = jnp.linalg.cholesky(g)
     xi = jax.random.normal(k_mom, theta0.shape, theta0.dtype)
-    p0 = (chol @ xi) * mask_p
+    if diag_metric:
+        p0 = jnp.sqrt(g) * xi * mask_p
+    else:
+        chol = jnp.linalg.cholesky(g)
+        p0 = (chol @ xi) * mask_p
 
     dhdt = lambda th, p: dH_dtheta(th, p, mask)
     dhdp = lambda th, p: dH_dp(th, p, mask)
@@ -137,20 +171,26 @@ def make_rhmc_kernel(
     metric_fn: Callable,
     mask: jax.Array,
     config: RHMCConfig = RHMCConfig(),
+    diag_metric: bool = False,
 ):
     """Kernel factory with the driver.py signature (state, eps, inv_mass).
 
     The driver's inv_mass argument is ignored — the Fisher metric IS the
     (position-dependent) mass matrix, so run with adapt_mass=False.
+    diag_metric=True selects the diagonal-Fisher path: metric_fn must
+    return a (3K,) vector (metric.make_diag_metric_fn).
     """
-    ham, dhdt, dhdp = make_rhmc_functions(potential_fn, metric_fn)
+    if diag_metric:
+        ham, dhdt, dhdp = make_rhmc_diag_functions(potential_fn, metric_fn)
+    else:
+        ham, dhdt, dhdp = make_rhmc_functions(potential_fn, metric_fn)
 
     def kernel(state, eps, inv_mass):
         del inv_mass
         return rhmc_step(
             state, potential_fn, metric_fn, ham, dhdt, dhdp,
             eps, config.n_leapfrog, config.fixed_point_iters, mask,
-            config.divergence_threshold,
+            config.divergence_threshold, diag_metric=diag_metric,
         )
 
     return kernel

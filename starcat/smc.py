@@ -54,8 +54,14 @@ class SMCConfig(NamedTuple):
     #                 mutation is wrapped in shard_map (pallas_call has no
     #                 GSPMD partitioning rule), so it runs per-device on the
     #                 local shard — pass mesh= to run_smc/smc_tempering.
+    # "rhmc_diag"   — generalized leapfrog on the DIAGONAL Fisher metric
+    #                 (metric.make_diag_metric_fn): still position-dependent
+    #                 and exact-MH, but O(3K*P) per metric eval with no
+    #                 Cholesky — the cheap Riemannian mutation for
+    #                 crowded-field scenes (config 4) where the full
+    #                 (3K,P)@(P,3K) contraction dominates the step.
     # "hmc"         — plain leapfrog, unit mass
-    mutation: str = "rhmc"             # "rhmc" | "rhmc_pallas" | "hmc"
+    mutation: str = "rhmc"   # "rhmc" | "rhmc_pallas" | "rhmc_diag" | "hmc"
     n_mutation_steps: int = 2
     n_leapfrog: int = 8
     fixed_point_iters: int = 4
@@ -280,6 +286,20 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
                     cfg.n_leapfrog, cfg.fixed_point_iters, m,
                     cfg.divergence_threshold,
                 )
+        elif cfg.mutation == "rhmc_diag":
+            from .metric import make_diag_metric_fn
+            from .rhmc import make_rhmc_diag_functions
+
+            dmetric = make_diag_metric_fn(spec, prior)
+            dmetric_b = lambda th, m: dmetric(th, m, beta)
+            ham, dhdt, dhdp = make_rhmc_diag_functions(pfn, dmetric_b)
+
+            def one(st, m):
+                return rhmc_step(
+                    st, pfn, dmetric_b, ham, dhdt, dhdp, s.eps,
+                    cfg.n_leapfrog, cfg.fixed_point_iters, m,
+                    cfg.divergence_threshold, diag_metric=True,
+                )
         else:
 
             def one(st, m):
@@ -294,7 +314,7 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
         def mut_step(sts, _):
             if cfg.mutation == "rhmc_pallas":
                 sts, info = pallas_mut(sts, mask, image, s.eps, beta)
-            elif cfg.mutation == "rhmc" and chunk < p:
+            elif cfg.mutation in ("rhmc", "rhmc_diag") and chunk < p:
                 sts, info = jax.lax.map(
                     lambda sm: one(sm[0], sm[1]), (sts, mask), batch_size=chunk
                 )

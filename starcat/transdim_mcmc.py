@@ -57,7 +57,8 @@ from .transdim import TransDimConfig, transdim_sweep
 
 class TransDimMCMCConfig(NamedTuple):
     step_size: float = 0.1
-    # "hmc" | "rhmc" | "rhmc_pallas" | "hmc_pallas" within-model move
+    # "hmc" | "rhmc" | "rhmc_diag" | "rhmc_pallas" | "hmc_pallas" move
+    # (rhmc_diag: diagonal-Fisher Riemannian — metric.make_diag_metric_fn)
     mutation: str = "hmc"
     n_leapfrog: int = 10
     fixed_point_iters: int = 4
@@ -141,6 +142,12 @@ def make_transdim_kernel(
         metric = make_metric_fn(spec, prior)
         metric2 = lambda th, m: metric(th, m, beta)
         ham, dhdt, dhdp = make_rhmc_functions(pfn, metric2)
+    if cfg.mutation == "rhmc_diag":
+        from .metric import make_diag_metric_fn
+        from .rhmc import make_rhmc_diag_functions
+
+        metric2 = lambda th, m: make_diag_metric_fn(spec, prior)(th, m, beta)
+        ham, dhdt, dhdp = make_rhmc_diag_functions(pfn, metric2)
     if cfg.mutation == "hmc_pallas" and beta != 1.0:
         # the fused HMC trajectory kernel evaluates the beta=1 posterior;
         # the Riemannian kernel takes beta directly (pallas_rhmc.py)
@@ -199,13 +206,14 @@ def make_transdim_kernel(
             )
             sts, info = kern(ChainState(theta, u, g, k_wm), eps,
                              jnp.ones(theta.shape[1:]))
-        elif cfg.mutation == "rhmc":
+        elif cfg.mutation in ("rhmc", "rhmc_diag"):
             sts = ChainState(theta, u, jnp.zeros_like(theta), k_wm)
             sts, info = jax.vmap(
                 lambda st, m: rhmc_step(
                     st, pfn, metric2, ham, dhdt, dhdp, eps,
                     cfg.n_leapfrog, cfg.fixed_point_iters, m,
                     cfg.divergence_threshold,
+                    diag_metric=cfg.mutation == "rhmc_diag",
                 )
             )(sts, mask)
         elif cfg.mutation == "rhmc_pallas":

@@ -92,6 +92,29 @@ def test_star_count_recovery_two_stars():
     assert 1.7 < counts.mean() < 2.4, counts.mean()
 
 
+def test_star_count_recovery_rhmc_diag():
+    """Same 2-star recovery through the diagonal-Fisher Riemannian move —
+    the cheap crowded-field mutation composed with trans-d sweeps targets
+    the same trans-dimensional posterior."""
+    bright = PriorSpec(logf_mean=5.0, logf_sigma=0.4)
+    x = jnp.array([5.0, 11.0])
+    y = jnp.array([5.0, 11.0])
+    f = jnp.array([150.0, 130.0])
+    img = make_mock_image(jax.random.key(1), x, y, f, SPEC)
+    cfg = TransDimMCMCConfig(
+        step_size=0.3, mutation="rhmc_diag", n_leapfrog=5,
+        fixed_point_iters=4, n_transdim_sweeps=2,
+        transdim=TransDimConfig(lam_count=2.0, split_sigma=1.0),
+    )
+    res, eps = run_transdim(
+        jax.random.key(2), SPEC, img, bright, KMAX, 32, 200, 150, cfg,
+    )
+    counts = np.asarray(res.masks)[:, 60:, :].sum(-1).reshape(-1).astype(int)
+    hist = np.bincount(counts, minlength=KMAX + 1)
+    assert hist.argmax() == 2, hist
+    assert 1.6 < counts.mean() < 2.5, counts.mean()
+
+
 @pytest.mark.slow
 def test_fixed_k_matches_plain_hmc():
     """With trans-d sweeps disabled and all slots alive, the head must
