@@ -164,6 +164,51 @@ def bench_pallas_rhmc_steps(n_chains: int = 1024, n_steps: int = 10,
     return n_chains * n_steps / best, best
 
 
+def bench_rhmc_diag_steps(n_chains: int = 1024, n_steps: int = 10,
+                          fpi: int = 6, repeats: int = 3):
+    """Secondary: diagonal-Fisher generalized leapfrog (XLA autodiff,
+    metric.make_diag_metric_fn) — Riemannian steps/s at the config-1/2
+    shape, comparable to pallas_rhmc_steps_per_sec (full metric)."""
+    import jax
+    import jax.numpy as jnp
+    import starcat
+    from starcat.integrators import riemannian_leapfrog
+    from starcat.metric import make_diag_metric_fn
+    from starcat.rhmc import make_rhmc_diag_functions
+
+    cfg, truth, img, mask, theta0, p0, inv_mass = _bench_setup(n_chains)
+    pfn = starcat.make_potential(cfg.scene, img, cfg.prior)
+    dm = make_diag_metric_fn(cfg.scene, cfg.prior)
+    _, dhdt, dhdp = make_rhmc_diag_functions(pfn, dm)
+    tf = theta0.reshape(n_chains, -1)
+    pf = p0.reshape(n_chains, -1)
+
+    @jax.jit
+    def f(t, p):
+        def one(t1, p1):
+            res = riemannian_leapfrog(
+                lambda th, pp: dhdt(th, pp, mask),
+                lambda th, pp: dhdp(th, pp, mask),
+                t1, p1, jnp.asarray(0.02), n_steps, fpi,
+            )
+            return res.theta, res.p
+
+        th, pp = jax.vmap(one)(t, p)
+        # scalar output: float() of it is a true completion sync even when
+        # block_until_ready returns early (axon async semantics)
+        return th, pp, jnp.sum(th[0])
+
+    out = f(tf, pf)
+    float(out[2])
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = f(out[0], pf)
+        float(out[2])
+        best = min(best, time.perf_counter() - t0)
+    return n_chains * n_steps / best, best
+
+
 def bench_numpy_baseline(n_evals: int = 2000, repeats: int = 3):
     """Re-measure the reference-technology baseline (--retime-baseline)."""
     import jax
@@ -381,6 +426,8 @@ def main():
         full["pallas_vs_xla"] = round(rate / xla_rate, 2)
         rhmc_rate, rhmc_best = bench_pallas_rhmc_steps(min(args.chains, 1024))
         full["pallas_rhmc_steps_per_sec"] = round(rhmc_rate, 1)
+        diag_rate, _ = bench_rhmc_diag_steps(min(args.chains, 1024))
+        full["rhmc_diag_steps_per_sec"] = round(diag_rate, 1)
         ess_rate, ess, dt = bench_ess_per_sec()
         full["nuts_ess_per_sec"] = round(ess_rate, 1)
         full["nuts_ess"] = round(float(ess), 1)

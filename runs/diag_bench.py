@@ -40,9 +40,13 @@ f = jnp.exp(truth[:, 2])
 img = make_mock_image(kk[1], x, y, f, spec)
 
 def sync(s):
-    # block_until_ready is a no-op through the axon tunnel (execution is
-    # deferred until a host transfer) — force a real device->host read.
-    return float(jnp.sum(s.theta[:2]))
+    # On axon, block_until_ready returns before remote execution finishes,
+    # and any NEW eager op (e.g. jnp.sum of a slice) triggers a multi-minute
+    # remote compile.  A scalar transfer of an existing output buffer is the
+    # only cheap true sync.
+    # mean_accept depends on the step's full mutation, so transferring it
+    # waits for everything.
+    return float(s.mean_accept)
 
 
 cfg = rc.smc._replace(n_particles=P, mutation_chunk=256, **variants[name])

@@ -131,10 +131,17 @@ cfg4_crowded = _register(RunConfig(
     n_stars=50, kmax=64,
     head="smc",
     smc=SMCConfig(
-        n_particles=4096, mutation="rhmc", n_mutation_steps=2, n_leapfrog=6,
-        fixed_point_iters=4, n_transdim_sweeps=2, step_size0=0.2,
+        # Diagonal-Fisher mutation: at this shape the full-metric RHMC step
+        # costs 41.1 s vs 10.2 s for the diagonal (runs/diag_bench.json) and
+        # the diag run reaches a BETTER-mixed posterior (star-count mode 46
+        # vs 40, logZ +39 nats — runs/cfg4_diag*.json, round 2).
+        n_particles=4096, mutation="rhmc_diag", n_mutation_steps=2,
+        n_leapfrog=6,
+        fixed_point_iters=4, n_transdim_sweeps=12, step_size0=0.2,
         max_steps=250,  # crowded-field likelihood needs many more temper steps
-        transdim=TransDimConfig(lam_count=40.0, split_sigma=1.0),
+        n_final_rounds=12, mutation_chunk=256,
+        transdim=TransDimConfig(lam_count=40.0, split_sigma=1.0,
+                                birth_proposal="residual"),
     ),
     notes="stretch config; shard particles over all hosts (SURVEY.md §3.4)",
 ))
