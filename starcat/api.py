@@ -125,7 +125,12 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         masks = np.asarray(mask)
     elif cfg.head == "rhmc":
         pfn = make_potential(spec, img, prior)
-        metric = make_metric_fn(spec, prior)
+        if cfg.rhmc.metric == "diag":
+            from .metric import make_diag_metric_fn
+
+            metric = make_diag_metric_fn(spec, prior)
+        else:
+            metric = make_metric_fn(spec, prior)
         res, wr = run_rhmc(
             jax.random.fold_in(key, 1), pfn, metric, grad_fn, theta0, mask,
             cfg.n_samples, cfg.n_warmup, cfg.rhmc, block_size=block, **ck,

@@ -39,6 +39,11 @@ class RHMCConfig(NamedTuple):
     # total-flux ESS 16 -> 23 vs target 0.8.
     target_accept: float = 0.9
     divergence_threshold: float = 1000.0
+    # "full": dense Fisher metric (make_metric_fn) — config-1 default.
+    # "diag": diagonal Fisher (make_diag_metric_fn) — no Cholesky, O(3K*P)
+    #         metric evals; 4x cheaper per step at the crowded-field shape
+    #         (runs/diag_bench.json) with the same invariant distribution.
+    metric: str = "full"
     # The generalized (implicit, fixed-Picard-sweep) leapfrog is the only
     # integrator: an explicit Tao/Cobb doubled-phase-space scheme was
     # measured ~2.6x worse in ESS/s at every binding strength on config 1
@@ -297,8 +302,14 @@ def run_rhmc(
     logger=None,
     thin: int = 1,
 ):
-    """Config-1 driver: 64-chain RHMC with step-size-only warmup."""
-    kernel = make_rhmc_kernel(potential_fn, metric_fn, mask, config)
+    """Config-1 driver: 64-chain RHMC with step-size-only warmup.
+
+    metric_fn must match config.metric: a (3K,3K) matrix fn for "full"
+    (metric.make_metric_fn) or a (3K,) vector fn for "diag"
+    (metric.make_diag_metric_fn).
+    """
+    kernel = make_rhmc_kernel(potential_fn, metric_fn, mask, config,
+                              diag_metric=config.metric == "diag")
     return run_mcmc(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,

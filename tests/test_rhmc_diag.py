@@ -90,6 +90,22 @@ def test_rhmc_diag_freezes_dead_slots():
     assert np.std(draws[:, :, 0, 2]) > 0  # live slot moves
 
 
+def test_api_rhmc_metric_diag():
+    """rhmc.metric="diag" reaches the head through configs/api (public CLI
+    surface of the diagonal-Fisher option)."""
+    from starcat.api import sample
+    from starcat.configs import CONFIGS, apply_overrides
+
+    cfg = apply_overrides(CONFIGS["cfg1_rhmc"], {
+        "n_chains": 4, "n_samples": 30, "n_warmup": 30, "n_stars": 2,
+        "kmax": 2, "scene.height": 16, "scene.width": 16,
+        "rhmc.metric": "diag", "rhmc.step_size": 0.3,
+    })
+    out = sample(cfg, seed=0)
+    assert out.stats["accept"] > 0.3
+    assert np.isfinite(out.thetas).all()
+
+
 @pytest.mark.slow
 def test_rhmc_diag_matches_hmc_on_scene():
     """Posterior agreement: diag-metric RHMC vs plain HMC on the 1-star scene."""
