@@ -155,6 +155,28 @@ def test_smc_sharded_matches_single_device():
     np.testing.assert_allclose(float(res1.log_z), float(res2.log_z), rtol=1e-3)
 
 
+def test_smc_sharded_rhmc_diag_matches_single_device():
+    """Sharded-vs-single invariance for the rhmc_diag mutation (pure XLA:
+    GSPMD partitions it from the input shardings alone — no shard_map)."""
+    from starcat.dist import make_mesh
+
+    spec, prior, img, _ = _single_star_setup()
+    cfg = SMCConfig(n_particles=256, mutation="rhmc_diag", n_mutation_steps=1,
+                    n_leapfrog=4, fixed_point_iters=3, step_size0=0.3,
+                    mutation_chunk=256)
+
+    res1 = run_smc(jax.random.key(5), spec, img, prior, 1, cfg)
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    mesh = make_mesh("chains")
+    res2 = run_smc(jax.random.key(5), spec, img, prior, 1, cfg, mesh=mesh)
+    assert len(res2.theta.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(res1.theta).mean(0), np.asarray(res2.theta).mean(0),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(float(res1.log_z), float(res2.log_z), rtol=1e-3)
+
+
 def test_smc_sharded_pallas_mutation():
     """The fused Pallas RHMC mutation on a SHARDED particle axis: the kernel
     call is wrapped in shard_map (per-device local mutation, smc.py), with
