@@ -125,6 +125,10 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         masks = np.asarray(mask)
     elif cfg.head == "rhmc":
         pfn = make_potential(spec, img, prior)
+        if cfg.rhmc.metric not in ("full", "diag"):
+            raise ValueError(
+                f"rhmc.metric must be 'full' or 'diag', got {cfg.rhmc.metric!r}"
+            )
         if cfg.rhmc.metric == "diag":
             from .metric import make_diag_metric_fn
 
@@ -157,12 +161,14 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         res, ad = run_chees(
             jax.random.fold_in(key, 1), grad_fn, theta0, mask,
             cfg.n_samples, cfg.n_warmup, cfg.chees, leapfrog_impl=impl,
+            block_size=block, **ck,
         )
         thetas = np.asarray(res.thetas)
         stats.update(step_size=float(ad["step_size"]),
                      traj_length=float(ad["traj_length"]),
                      accept=float(np.asarray(res.accept_prob).mean()),
-                     divergences=int(np.asarray(res.diverged).sum()))
+                     divergences=int(np.asarray(res.diverged).sum()),
+                     warmup_divergences=int(ad["warmup_divergences"]))
         masks = np.asarray(mask)
     elif cfg.head == "transdim":
         from .pallas_kernels import fused_supported

@@ -107,3 +107,28 @@ def test_smc_stepwise_matches_while_loop():
     assert int(res_s.n_steps) == int(res_w.n_steps)
     np.testing.assert_allclose(np.asarray(res_s.theta), np.asarray(res_w.theta),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_chees_per_window_metrics(tmp_path):
+    """The ChEES head must stream the same per-window records as the other
+    MCMC heads: 3 warmup-phase records, a warmup_complete record carrying
+    the adapted traj_length and warmup divergence count, and per-block
+    sampling records (VERDICT round-2 Missing #2)."""
+    mp = str(tmp_path / "metrics.jsonl")
+    cfg = apply_overrides(CONFIGS["cfg6_chees"], {
+        "n_chains": "8", "n_samples": "400", "n_warmup": "60",
+    })
+    out = sample(cfg, seed=0, metrics_path=mp)
+    events = _read_events(mp)
+    kinds = [e["event"] for e in events]
+    assert kinds.count("warmup_phase") == 3, kinds
+    assert kinds.count("warmup_complete") == 1, kinds
+    assert kinds.count("sampling_block") >= 2, kinds
+    assert kinds[-1] == "run_complete"
+    wc = next(e for e in events if e["event"] == "warmup_complete")
+    assert np.isfinite(wc["traj_length"]) and wc["traj_length"] > 0
+    assert "divergences" in wc
+    blocks = [e for e in events if e["event"] == "sampling_block"]
+    assert blocks[-1]["done"] == 400
+    assert all(np.isfinite(b["traj_length"]) for b in blocks)
+    assert np.isfinite(out.stats["traj_length"])
