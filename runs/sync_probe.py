@@ -60,7 +60,7 @@ for mode in ("block", "transfer"):
     res[mode] = {"best_s": round(best, 4), "evals_per_sec": round(rate, 1)}
     print(mode, res[mode], flush=True)
 
-res["ratio_block_over_transfer"] = round(
+res["ratio_transfer_over_block"] = round(
     res["transfer"]["best_s"] / res["block"]["best_s"], 3
 )
 json.dump(res, open("runs/sync_probe.json", "w"), indent=1)

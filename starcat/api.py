@@ -135,10 +135,38 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
             metric = make_diag_metric_fn(spec, prior)
         else:
             metric = make_metric_fn(spec, prior)
-        res, wr = run_rhmc(
-            jax.random.fold_in(key, 1), pfn, metric, grad_fn, theta0, mask,
-            cfg.n_samples, cfg.n_warmup, cfg.rhmc, block_size=block, **ck,
-        )
+        # Kernel dispatch (mirrors the hmc head): the fused Riemannian
+        # trajectory kernels — pallas_rhmc (full metric, ~6x XLA) and
+        # pallas_rhmc_diag (diagonal metric, 3.4x XLA lanes / MXU layout
+        # for crowded fields) — when the shape supports them.
+        from .pallas_kernels import fused_supported
+        from .pallas_rhmc_diag import diag_fused_supported
+
+        if cfg.rhmc.metric == "diag":
+            pallas_ok = cfg.n_chains % 8 == 0
+            kern_name = ("pallas_rhmc_diag_vpu"
+                         if diag_fused_supported(spec, cfg.kmax, cfg.n_chains)
+                         else "pallas_rhmc_diag_mxu")
+        else:
+            pallas_ok = (fused_supported(spec, cfg.kmax, cfg.n_chains)
+                         and cfg.n_chains % 128 == 0)
+            kern_name = "pallas_rhmc"
+        if jax.default_backend() == "tpu" and pallas_ok:
+            from .rhmc import run_rhmc_pallas
+
+            stats["kernel"] = kern_name
+            res, wr = run_rhmc_pallas(
+                jax.random.fold_in(key, 1), spec, img, prior, theta0, mask,
+                cfg.n_samples, cfg.n_warmup, cfg.rhmc, block_size=block,
+                mesh=mesh, **ck,
+            )
+        else:
+            stats["kernel"] = "xla"
+            res, wr = run_rhmc(
+                jax.random.fold_in(key, 1), pfn, metric, grad_fn, theta0,
+                mask, cfg.n_samples, cfg.n_warmup, cfg.rhmc,
+                block_size=block, **ck,
+            )
         thetas = np.asarray(res.thetas)
         stats.update(step_size=float(wr.step_size),
                      accept=float(np.asarray(res.accept_prob).mean()),

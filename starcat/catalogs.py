@@ -185,21 +185,24 @@ def condense(cats: list[np.ndarray], radius: float = 1.0,
               and (x - stars[j, 0]) ** 2 + (y - stars[j, 1]) ** 2 <= r2]
         return np.array(ns, int)
 
-    # support = number of distinct draws with an unclaimed star near idx
+    # support = number of distinct draws with an unclaimed star near idx.
+    # Cached per star and invalidated only for stars whose neighbourhood
+    # intersects newly claimed members — claiming can only SHRINK a
+    # neighbourhood, so untouched caches stay exact and the selection is
+    # identical to a full recompute (same lowest-index tiebreak).  This
+    # turns the scan from O(sources · pooled_stars · bucket) into
+    # O(pooled_stars · bucket) amortized — cfg4-scale reports (512 draws ×
+    # ~50 stars) condense in seconds instead of minutes.
+    support = np.full(len(stars), -1.0)          # -1 = stale
     while True:
-        # recompute support lazily: evaluate on unclaimed stars only
         unclaimed = np.where(~claimed)[0]
         if len(unclaimed) == 0:
             break
-        best_idx, best_support = -1, 0
-        # Exact support for every unclaimed star is O(stars · neighbours);
-        # at <=512 draws x K_max stars this is fast enough in practice.
-        for idx in unclaimed:
-            ns = neighbours(idx)
-            support = len(np.unique(draw_of[ns]))
-            if support > best_support:
-                best_support, best_idx = support, idx
-        if best_support < min_prevalence * n_draws or best_idx < 0:
+        for idx in unclaimed[support[unclaimed] < 0]:
+            support[idx] = len(np.unique(draw_of[neighbours(idx)]))
+        best_idx = int(unclaimed[np.argmax(support[unclaimed])])
+        best_support = support[best_idx]
+        if best_support < min_prevalence * n_draws:
             break
         seed = stars[best_idx]
         ns = neighbours(best_idx)
@@ -212,6 +215,15 @@ def condense(cats: list[np.ndarray], radius: float = 1.0,
                 members[dr] = j
         mem = np.array(list(members.values()), int)
         claimed[mem] = True
+        # invalidate cached support of unclaimed stars whose neighbourhood
+        # contains a newly claimed member
+        for m in mem:
+            mx, my = stars[m, 0], stars[m, 1]
+            for j in grid.near(mx, my):
+                if (not claimed[j]
+                        and (mx - stars[j, 0]) ** 2
+                        + (my - stars[j, 1]) ** 2 <= r2):
+                    support[j] = -1.0
         sx, sy, sf = stars[mem, 0], stars[mem, 1], stars[mem, 2]
         out.append(CondensedSource(
             x=sx.mean(), y=sy.mean(), flux=sf.mean(),
@@ -249,21 +261,28 @@ def completeness_purity(cats: list[np.ndarray], truth: np.ndarray,
     p_match = np.zeros(nb)
     p_total = np.zeros(nb)
     flux_err = []
-    t_bin = np.clip(np.digitize(truth[:, 2], flux_bins) - 1, 0, nb - 1) \
-        if len(truth) else np.empty(0, int)
+    # stars whose flux falls outside the bin range are EXCLUDED (not lumped
+    # into the edge bins, which would distort the faintest/brightest
+    # completeness and purity values)
+    t_bin = (np.digitize(truth[:, 2], flux_bins) - 1
+             if len(truth) else np.empty(0, int))
+    t_in = (t_bin >= 0) & (t_bin < nb)
     for cat in cats:
         pairs, un_t, un_p = match_catalogs(truth, cat, radius)
-        np.add.at(t_total, t_bin, 1.0)
+        np.add.at(t_total, t_bin[t_in], 1.0)
         if len(pairs):
-            np.add.at(t_match, t_bin[pairs[:, 0]], 1.0)
+            sel = pairs[:, 0][t_in[pairs[:, 0]]]
+            np.add.at(t_match, t_bin[sel], 1.0)
             flux_err.append(
                 (cat[pairs[:, 1], 2] - truth[pairs[:, 0], 2])
                 / truth[pairs[:, 0], 2])
         if len(cat):
-            p_bin = np.clip(np.digitize(cat[:, 2], flux_bins) - 1, 0, nb - 1)
-            np.add.at(p_total, p_bin, 1.0)
+            p_bin = np.digitize(cat[:, 2], flux_bins) - 1
+            p_in = (p_bin >= 0) & (p_bin < nb)
+            np.add.at(p_total, p_bin[p_in], 1.0)
             if len(pairs):
-                np.add.at(p_match, p_bin[pairs[:, 1]], 1.0)
+                psel = pairs[:, 1][p_in[pairs[:, 1]]]
+                np.add.at(p_match, p_bin[psel], 1.0)
     with np.errstate(invalid="ignore", divide="ignore"):
         completeness = np.where(t_total > 0, t_match / t_total, np.nan)
         purity = np.where(p_total > 0, p_match / p_total, np.nan)

@@ -210,25 +210,67 @@ def make_pallas_rhmc_kernel(
     beta: float = 1.0,
     jitter: float = 1e-3,
     interpret: bool = False,
+    diag_metric: bool = False,
+    mesh=None,
 ):
     """Batched RHMC kernel on the fused Pallas Riemannian leapfrog
-    (SURVEY.md ⑮ "Riemannian variant"; pallas_rhmc.py).
+    (SURVEY.md ⑮ "Riemannian variant"; pallas_rhmc.py / pallas_rhmc_diag.py).
 
     The whole implicit generalized-leapfrog trajectory — metric build,
-    Cholesky, both Picard fixed points, Hamiltonian bookkeeping — runs
-    inside one VMEM-resident kernel; only the momentum draw (as N(0,I)
-    noise), step-size jitter and the MH coin stay in XLA.  Measured ~6x the
-    XLA autodiff path on a v5e chip at the config-1/2 shapes.  n_chains
-    must be a multiple of 128.  mask may be (K,) or per-chain (C, K).
+    Cholesky (full metric only), both Picard fixed points, Hamiltonian
+    bookkeeping — runs inside one VMEM-resident kernel; only the momentum
+    draw (as N(0,I) noise), step-size jitter and the MH coin stay in XLA.
+    Measured ~6x the XLA autodiff path on a v5e chip at the config-1/2
+    shapes (full metric), 3.4x for the diagonal metric.  n_chains must be
+    a multiple of the tile (128 lanes / 8 sublanes for the crowded-field
+    MXU layout).  mask may be (K,) or per-chain (C, K).
+
+    diag_metric=True selects the fused DIAGONAL-Fisher trajectory
+    (pallas_rhmc_diag), auto-choosing chains-on-lanes for small scenes and
+    the chains-on-sublanes MXU layout for crowded fields (cfg4).
     """
     from .pallas_kernels import TILE  # noqa: F401  (tile contract)
-    from .pallas_rhmc import make_pallas_rhmc_leapfrog
 
     kmax = int(mask.shape[-1])
-    fused = make_pallas_rhmc_leapfrog(
-        spec, image, prior, kmax, config.n_leapfrog, config.fixed_point_iters,
-        jitter=jitter, interpret=interpret,
-    )
+    if diag_metric:
+        from .pallas_rhmc_diag import (
+            diag_fused_supported,
+            make_pallas_rhmc_diag_leapfrog,
+            make_pallas_rhmc_diag_mxu,
+        )
+
+        builder = (
+            make_pallas_rhmc_diag_leapfrog
+            if diag_fused_supported(spec, kmax, 0)
+            else make_pallas_rhmc_diag_mxu
+        )
+        fused = builder(
+            spec, image, prior, kmax, config.n_leapfrog,
+            config.fixed_point_iters, jitter=jitter, interpret=interpret,
+        )
+    else:
+        from .pallas_rhmc import make_pallas_rhmc_leapfrog
+
+        fused = make_pallas_rhmc_leapfrog(
+            spec, image, prior, kmax, config.n_leapfrog,
+            config.fixed_point_iters, jitter=jitter, interpret=interpret,
+        )
+
+    if mesh is not None:
+        # pallas_call has no GSPMD partitioning rule — run the fused
+        # trajectory per shard under shard_map (as make_pallas_hmc_kernel)
+        from jax.sharding import PartitionSpec as PSpec
+
+        ax = mesh.axis_names[0]
+        mask_sp = PSpec(ax) if jnp.ndim(mask) == 2 else PSpec()
+        fused = jax.shard_map(
+            fused, mesh=mesh,
+            in_specs=(PSpec(ax), PSpec(ax), PSpec(ax), mask_sp, PSpec()),
+            out_specs=(PSpec(ax),) * 5,
+            # pallas_call's out_shape carries no varying-mesh-axes info, so
+            # the vma check cannot see through it (as in smc.py)
+            check_vma=False,
+        )
 
     def kernel(states: ChainState, eps, inv_mass):
         del inv_mass  # the Fisher metric IS the mass matrix
@@ -271,18 +313,28 @@ def run_rhmc_pallas(
     config: RHMCConfig = RHMCConfig(),
     block_size: int | None = None,
     interpret: bool = False,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
+    logger=None,
+    thin: int = 1,
+    mesh=None,
 ):
-    """run_rhmc on the fused Pallas Riemannian kernel (performance path)."""
+    """run_rhmc on the fused Pallas Riemannian kernel (performance path).
+    config.metric selects full (pallas_rhmc) vs diag (pallas_rhmc_diag)."""
     from .potential import make_potential_and_grad
 
     pg = make_potential_and_grad(spec, image, prior)
     grad_fn = lambda th: pg(th, mask)
     kernel = make_pallas_rhmc_kernel(spec, image, prior, mask, config,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     diag_metric=config.metric == "diag",
+                                     mesh=mesh)
     return run_mcmc(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,
         adapt_mass=False, block_size=block_size,
+        checkpoint_path=checkpoint_path, resume=resume, logger=logger,
+        thin=thin,
     )
 
 

@@ -60,8 +60,13 @@ class SMCConfig(NamedTuple):
     #                 Cholesky — the cheap Riemannian mutation for
     #                 crowded-field scenes (config 4) where the full
     #                 (3K,P)@(P,3K) contraction dominates the step.
+    # "rhmc_diag_pallas" — fused Pallas trajectory on the diagonal metric
+    #                 (pallas_rhmc_diag.py): chains-on-lanes for small
+    #                 scenes (3.4x the XLA diag path), chains-on-sublanes
+    #                 MXU layout for crowded fields (config 4) — the
+    #                 performance path for the cfg4 mutation.
     # "hmc"         — plain leapfrog, unit mass
-    mutation: str = "rhmc"   # "rhmc" | "rhmc_pallas" | "rhmc_diag" | "hmc"
+    mutation: str = "rhmc"   # above | "rhmc_diag_pallas" | "hmc"
     n_mutation_steps: int = 2
     n_leapfrog: int = 8
     fixed_point_iters: int = 4
@@ -243,7 +248,7 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
         u0, g0 = jax.vmap(gfn)(theta, mask)
         states = ChainState(theta, u0, g0, jax.random.split(k_mut, p))
 
-        if cfg.mutation == "rhmc_pallas":
+        if cfg.mutation in ("rhmc_pallas", "rhmc_diag_pallas"):
             from .rhmc import RHMCConfig, make_pallas_rhmc_kernel
 
             rcfg = RHMCConfig(
@@ -253,6 +258,7 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
             )
             # CPU (tests, fake-mesh runs): Pallas interpreter mode
             interp = jax.default_backend() != "tpu"
+            diag = cfg.mutation == "rhmc_diag_pallas"
 
             def pallas_mut(sts, m, img, eps_, beta_):
                 # built inside so that under shard_map every operand (the
@@ -260,7 +266,8 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
                 # explicit, correctly-specced argument — shard_map cannot
                 # close over traced values.
                 kern = make_pallas_rhmc_kernel(
-                    spec, img, prior, m, rcfg, beta=beta_, interpret=interp
+                    spec, img, prior, m, rcfg, beta=beta_, interpret=interp,
+                    diag_metric=diag,
                 )
                 return kern(sts, eps_, jnp.ones(()))
 
@@ -312,7 +319,7 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
         chunk = min(cfg.mutation_chunk, p)
 
         def mut_step(sts, _):
-            if cfg.mutation == "rhmc_pallas":
+            if cfg.mutation in ("rhmc_pallas", "rhmc_diag_pallas"):
                 sts, info = pallas_mut(sts, mask, image, s.eps, beta)
             elif cfg.mutation in ("rhmc", "rhmc_diag") and chunk < p:
                 sts, info = jax.lax.map(
@@ -417,7 +424,8 @@ def run_smc(
             mask=shard_chains(s0.mask, mesh),
             loglik=shard_chains(s0.loglik, mesh),
         )
-    step_mesh = mesh if cfg.mutation == "rhmc_pallas" else None
+    step_mesh = (mesh if cfg.mutation in ("rhmc_pallas", "rhmc_diag_pallas")
+                 else None)
 
     if checkpoint_path is None and logger is None:
         return smc_tempering(s0, spec, image, prior, cfg, mesh=step_mesh)
