@@ -124,6 +124,19 @@ def cmd_validate(args):
         if draws.shape[1] == 1:
             draws = np.moveaxis(draws, 0, 1)  # particles on the draw axis
         hrep = {}
+        if head == "transdim":
+            # Per-draw masks (trans-d chain): gate the ALIVE-SLOT marginal.
+            # Conditional on the slot being alive, the posterior over
+            # (ux, uy, logf) equals the oracle's fixed-K=1 posterior, so
+            # dead draws are excluded; chains are trimmed to the minimum
+            # alive count to stay rectangular.  On config 0 the death of
+            # the only star explaining the image is essentially never
+            # accepted, so the trim is ~a no-op (alive_frac reported).
+            alive = np.asarray(out.masks)[:, :, 0] > 0.5     # (C, N)
+            hrep["alive_frac"] = round(float(alive.mean()), 4)
+            n_keep = int(alive.sum(1).min())
+            draws = np.stack([draws[c][alive[c]][:n_keep]
+                              for c in range(draws.shape[0])])
         hok = True
         # ADVI is a mean-field APPROXIMATION: means must match, but its
         # variances are biased low by construction — gate on z of the mean
@@ -172,7 +185,8 @@ def main(argv=None):
 
     p_val = sub.add_parser("validate", help="oracle vs JAX validation")
     p_val.add_argument("--config", default="cfg0_single_star")
-    p_val.add_argument("--heads", default="hmc,nuts,chees,rhmc,smc,advi",
+    p_val.add_argument("--heads",
+                       default="hmc,nuts,chees,rhmc,smc,advi,transdim",
                        help="comma-separated heads to gate against the oracle")
     p_val.set_defaults(fn=cmd_validate)
 

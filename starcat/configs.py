@@ -131,11 +131,13 @@ cfg4_crowded = _register(RunConfig(
     n_stars=50, kmax=64,
     head="smc",
     smc=SMCConfig(
-        # Diagonal-Fisher mutation: at this shape the full-metric RHMC step
-        # costs 41.1 s vs 10.2 s for the diagonal (runs/diag_bench.json) and
-        # the diag run reaches a BETTER-mixed posterior (star-count mode 46
-        # vs 40, logZ +39 nats — runs/cfg4_diag*.json, round 2).
-        n_particles=4096, mutation="rhmc_diag", n_mutation_steps=2,
+        # Fused diagonal-Fisher mutation (pallas_rhmc_diag MXU layout): the
+        # diag metric already beat the full-metric step 41.1 s -> 0.19 s
+        # (runs/diag_bench.json) with a BETTER-mixed posterior (star-count
+        # mode 46 vs 40, logZ +39 nats — runs/cfg4_diag*.json); fusing the
+        # whole trajectory drops the full temperature step a further
+        # 0.91 s -> 0.36 s at P=4096 (runs/cfg4_step_probe.json, round 3).
+        n_particles=4096, mutation="rhmc_diag_pallas", n_mutation_steps=2,
         n_leapfrog=6,
         fixed_point_iters=4, n_transdim_sweeps=12, step_size0=0.2,
         max_steps=250,  # crowded-field likelihood needs many more temper steps

@@ -98,6 +98,12 @@ class SMCState(NamedTuple):
     eps: jax.Array
     n_steps: jax.Array
     mean_accept: jax.Array
+    # temperature steps taken while ALREADY at beta=1 — i.e. completed
+    # posterior ("final") rounds.  Checkpointed, so a resume from a beta=1
+    # checkpoint continues with the REMAINING n_final_rounds instead of
+    # rerunning all of them (the cfg4 extended-posterior studies are built
+    # on exactly such resume loops).
+    final_done: jax.Array
 
 
 class SMCResult(NamedTuple):
@@ -185,6 +191,7 @@ def init_smc(
         eps=jnp.asarray(cfg.step_size0, jnp.float32),
         n_steps=jnp.asarray(0, jnp.int32),
         mean_accept=jnp.asarray(0.0, jnp.float32),
+        final_done=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -342,6 +349,7 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
         return SMCState(
             key=key, theta=theta, mask=mask, loglik=loglik, beta=beta,
             log_z=log_z, eps=eps, n_steps=s.n_steps + 1, mean_accept=mean_accept,
+            final_done=s.final_done + (s.beta >= 1.0).astype(jnp.int32),
         )
 
     return step
@@ -437,7 +445,7 @@ def run_smc(
         from .checkpoint import restore_state
 
         s = restore_state(checkpoint_path, s0)
-    final_left = cfg.n_final_rounds
+    final_left = max(cfg.n_final_rounds - int(s.final_done), 0)
 
     def emit_and_save(s):
         if logger is not None:
@@ -455,9 +463,6 @@ def run_smc(
     while float(s.beta) < 1.0 and int(s.n_steps) < cfg.max_steps:
         s = _smc_step_jit(s, spec, image, prior, cfg, mesh=step_mesh)
         emit_and_save(s)
-    # NOTE: a run resumed from a beta=1 checkpoint reruns ALL final rounds
-    # (the checkpoint doesn't record how many were completed) — extra
-    # posterior-MCMC rounds are harmless for correctness.
     while final_left > 0:
         s = _smc_step_jit(s, spec, image, prior, cfg, mesh=step_mesh)
         final_left -= 1

@@ -97,6 +97,7 @@ def test_completeness_purity_curves():
     assert abs(rep["matched_flux_rel_err_mean"]) < 0.05
 
 
+@pytest.mark.slow
 def test_catalog_report_end_to_end_transdim():
     """Short trans-d MCMC run on a bright 2-star scene: the condensed
     catalog finds exactly the two real sources at prevalence ~1."""

@@ -324,3 +324,53 @@ def test_chees_sigkill_midrun_then_resume(tmp_path):
     full = np.load(full_out)        # (C, 40, 1, 3)
     resumed = np.load(resume_out)   # (C, 20, 1, 3) — blocks 3-4 only
     np.testing.assert_array_equal(resumed, full[:, 20:])
+
+
+@pytest.mark.slow
+def test_smc_resume_skips_completed_final_rounds(tmp_path):
+    """The beta=1 checkpoint records completed posterior ("final") rounds
+    (SMCState.final_done): a resume runs only the REMAINING n_final_rounds
+    instead of repeating all of them (VERDICT round-2 Missing #5 — the
+    cfg4 extended-posterior studies are resume loops over exactly this)."""
+    import jax
+    import jax.numpy as jnp
+
+    import starcat
+    from starcat.smc import SMCConfig, run_smc
+
+    spec = starcat.SceneSpec(12, 12, 1.5, 4.0)
+    prior = starcat.PriorSpec(3.5, 0.6)
+    img = starcat.make_mock_image(
+        jax.random.key(1), jnp.array([4.0, 8.0]), jnp.array([6.0, 6.0]),
+        jnp.array([70.0, 50.0]), spec)
+    cfg = SMCConfig(n_particles=64, mutation="hmc", n_mutation_steps=2,
+                    n_leapfrog=4, max_steps=40, n_final_rounds=3)
+    ckpt = str(tmp_path / "smc_final_ckpt")
+
+    class Counter:
+        def __init__(self):
+            self.steps = 0
+
+        def log(self, event, **kw):
+            if event == "smc_temperature_step":
+                self.steps += 1
+
+    c1 = Counter()
+    res1 = run_smc(jax.random.key(3), spec, img, prior, 4, cfg,
+                   checkpoint_path=ckpt, logger=c1)
+    assert float(res1.beta) == 1.0
+
+    # same budget -> nothing left to do: 0 extra temperature steps
+    c2 = Counter()
+    res2 = run_smc(jax.random.key(3), spec, img, prior, 4, cfg,
+                   checkpoint_path=ckpt, resume=True, logger=c2)
+    assert c2.steps == 0
+    np.testing.assert_array_equal(np.asarray(res2.theta),
+                                  np.asarray(res1.theta))
+
+    # raised budget -> exactly the difference is run
+    c3 = Counter()
+    run_smc(jax.random.key(3), spec, img, prior, 4,
+            cfg._replace(n_final_rounds=5), checkpoint_path=ckpt,
+            resume=True, logger=c3)
+    assert c3.steps == 2

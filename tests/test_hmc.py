@@ -135,6 +135,7 @@ def test_config0_matches_oracle():
     assert diagnostics.compare_moments(f_jax, f_orc)["z"] < 4.0
 
 
+@pytest.mark.slow
 def test_thinning_matches_unthinned_subsample():
     """thin=k records exactly every k-th state of the unthinned chain
     (same kernel stream; per-chain keys live in ChainState)."""

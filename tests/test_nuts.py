@@ -157,6 +157,7 @@ def test_nuts_dead_slots_frozen():
     assert np.std(draws[:, :, 0, 2]) > 0
 
 
+@pytest.mark.slow
 def test_nuts_sharded_matches_single_device():
     """Sharded-vs-single invariance for an MCMC head (SURVEY.md §4.2
     distributed row; VERDICT round-1 item 8): NUTS on the fake 8-device

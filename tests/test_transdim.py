@@ -180,6 +180,7 @@ def test_residual_birth_prior_stationarity_with_real_image():
     assert abs(counts.mean() - (pmf * np.arange(KMAX + 1)).sum()) < 0.15
 
 
+@pytest.mark.slow
 def test_residual_birth_targets_unexplained_star():
     """With an obvious missing bright star, residual births must hit it far
     more often than uniform births (the cfg4 crowded-field fix)."""

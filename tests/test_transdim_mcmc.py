@@ -92,6 +92,7 @@ def test_star_count_recovery_two_stars():
     assert 1.7 < counts.mean() < 2.4, counts.mean()
 
 
+@pytest.mark.slow
 def test_star_count_recovery_rhmc_diag():
     """Same 2-star recovery through the diagonal-Fisher Riemannian move —
     the cheap crowded-field mutation composed with trans-d sweeps targets
@@ -161,6 +162,7 @@ def test_fixed_k_matches_plain_hmc():
         assert cmp["z"] < 4.0, (nm, cmp)
 
 
+@pytest.mark.slow
 def test_blocked_equals_unblocked_and_resume():
     """Blocked sampling is bitwise-identical to one big scan; resume from a
     checkpoint reproduces the remaining draws exactly."""
