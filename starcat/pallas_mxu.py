@@ -8,8 +8,11 @@ MXU-shaped: lam = gy_w^T gx is a (H, K) @ (K, W) matmul, and both residual
 contractions are (H, W) @ (W, K).  The XLA path runs those as batched
 matmuls but round-trips every per-step intermediate (lam, resid, profiles
 — ~200 KB/chain/step) through HBM; measured ~1.0-1.3M grad-evals/s at
-1024 chains on a v5e — ~25% of the f32-matmul speed-of-light
-(49e12 / (6 K H W) ~ 7.8M evals/s at K=64, 128x128).
+1024 chains on a v5e.  Roofline note (round 3, docs/DESIGN.md): the
+f32-matmul bound (49e12 / (6 K H W) ~ 7.8M evals/s) is NOT the binding
+limit — the kernel is exp-bound (24.6K profile exps/eval at ~26-33G
+exp/s caps ~1.0-1.3M evals/s, exactly where it measures); transpose-
+reuse of the profile arrays measured slower than the second exp.
 
 This kernel tiles a few chains per grid step, keeps the whole L-step
 trajectory VMEM-resident (per-tile working set ~3 MB at tile 8: profiles
