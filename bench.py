@@ -139,11 +139,43 @@ def bench_xla_grad_evals(n_chains: int, n_leapfrog: int, n_scan: int, repeats: i
     return n_chains * n_leapfrog * n_scan / best, best
 
 
+def _scanned_traj_bench(fused, theta0, xi, mask, n_steps, n_scan, repeats):
+    """Time a fused trajectory builder under lax.scan (n_scan trajectories
+    per device program).  Round-3 protocol fix: a SINGLE pallas_call per
+    jit carries ~20 ms of axon per-call dispatch latency, which swamped
+    the kernels' actual compute and understated every trajectory-kernel
+    rate (docs/DESIGN.md round-3 note); scanning amortizes it exactly as
+    bench_pallas_grad_evals always did.  Returns (steps_per_sec, best_s)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_chains = theta0.shape[0]
+
+    @jax.jit
+    def f(t, x):
+        def body(th, _):
+            out = fused(th, x, 0.02, mask, 1.0)
+            return out[0], None
+
+        th, _ = jax.lax.scan(body, t, None, length=n_scan)
+        return th, jnp.sum(th[0])
+
+    out = f(theta0, xi)
+    float(out[1])
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = f(out[0], xi)
+        float(out[1])
+        best = min(best, time.perf_counter() - t0)
+    return n_chains * n_steps * n_scan / best, best
+
+
 def bench_pallas_rhmc_steps(n_chains: int = 1024, n_steps: int = 10,
-                            fpi: int = 6, repeats: int = 3):
+                            fpi: int = 6, repeats: int = 3,
+                            n_scan: int = 10):
     """Secondary: fused Pallas Riemannian leapfrog (pallas_rhmc.py) —
-    full-Fisher-metric generalized-leapfrog steps/s.  The XLA autodiff
-    path measures ~11.4k steps/s on this workload (v5e, 1024 chains)."""
+    full-Fisher-metric generalized-leapfrog steps/s, scan-amortized."""
     import jax
     from starcat.pallas_rhmc import make_pallas_rhmc_leapfrog
 
@@ -152,16 +184,8 @@ def bench_pallas_rhmc_steps(n_chains: int = 1024, n_steps: int = 10,
         cfg.scene, img, cfg.prior, cfg.kmax, n_steps, fpi
     )
     xi = jax.random.normal(jax.random.key(2), theta0.shape)
-    f = jax.jit(lambda t, x: fused(t, x, 0.02, mask, 1.0))
-    out = f(theta0, xi)
-    jax.block_until_ready(out)
-    best = np.inf
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = f(out[0], xi)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return n_chains * n_steps / best, best
+    return _scanned_traj_bench(fused, theta0, xi, mask, n_steps, n_scan,
+                               repeats)
 
 
 def bench_rhmc_diag_steps(n_chains: int = 1024, n_steps: int = 10,
@@ -182,6 +206,7 @@ def bench_rhmc_diag_steps(n_chains: int = 1024, n_steps: int = 10,
     _, dhdt, dhdp = make_rhmc_diag_functions(pfn, dm)
     tf = theta0.reshape(n_chains, -1)
     pf = p0.reshape(n_chains, -1)
+    n_scan = 10  # amortize per-call dispatch (see _scanned_traj_bench)
 
     @jax.jit
     def f(t, p):
@@ -193,24 +218,29 @@ def bench_rhmc_diag_steps(n_chains: int = 1024, n_steps: int = 10,
             )
             return res.theta, res.p
 
-        th, pp = jax.vmap(one)(t, p)
+        def body(tt, _):
+            th, pp = jax.vmap(one)(tt, p)
+            return th, None
+
+        th, _ = jax.lax.scan(body, t, None, length=n_scan)
         # scalar output: float() of it is a true completion sync even when
         # block_until_ready returns early (axon async semantics)
-        return th, pp, jnp.sum(th[0])
+        return th, jnp.sum(th[0])
 
     out = f(tf, pf)
-    float(out[2])
+    float(out[1])
     best = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = f(out[0], pf)
-        float(out[2])
+        float(out[1])
         best = min(best, time.perf_counter() - t0)
-    return n_chains * n_steps / best, best
+    return n_chains * n_steps * n_scan / best, best
 
 
 def bench_pallas_rhmc_diag_steps(n_chains: int = 1024, n_steps: int = 10,
-                                 fpi: int = 6, repeats: int = 3):
+                                 fpi: int = 6, repeats: int = 3,
+                                 n_scan: int = 10):
     """Secondary: fused Pallas DIAGONAL-Fisher Riemannian leapfrog
     (pallas_rhmc_diag.py, chains-on-lanes) — steps/s at the config-1/2
     shape, directly comparable to rhmc_diag_steps_per_sec (the XLA autodiff
@@ -223,16 +253,8 @@ def bench_pallas_rhmc_diag_steps(n_chains: int = 1024, n_steps: int = 10,
         cfg.scene, img, cfg.prior, cfg.kmax, n_steps, fpi
     )
     xi = jax.random.normal(jax.random.key(2), theta0.shape)
-    f = jax.jit(lambda t, x: fused(t, x, 0.02, mask, 1.0))
-    out = f(theta0, xi)
-    jax.block_until_ready(out)
-    best = np.inf
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = f(out[0], xi)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return n_chains * n_steps / best, best
+    return _scanned_traj_bench(fused, theta0, xi, mask, n_steps, n_scan,
+                               repeats)
 
 
 def bench_rhmc_diag_crowded(n_chains: int = 256, repeats: int = 3):
@@ -265,6 +287,8 @@ def bench_rhmc_diag_crowded(n_chains: int = 256, repeats: int = 3):
     tf = theta0.reshape(n_chains, -1)
     pf = jax.random.normal(jax.random.key(7), tf.shape)
 
+    n_scan = 5  # amortize per-call dispatch (see _scanned_traj_bench)
+
     @jax.jit
     def f_xla(t, p):
         def one(t1, p1):
@@ -275,31 +299,28 @@ def bench_rhmc_diag_crowded(n_chains: int = 256, repeats: int = 3):
             )
             return res.theta, res.p
 
-        th, pp = jax.vmap(one)(t, p)
-        return th, pp, jnp.sum(th[0])
+        def body(tt, _):
+            th, pp = jax.vmap(one)(tt, p)
+            return th, None
+
+        th, _ = jax.lax.scan(body, t, None, length=n_scan)
+        return th, jnp.sum(th[0])
 
     out = f_xla(tf, pf)
-    float(out[2])
+    float(out[1])
     best_xla = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = f_xla(out[0], pf)
-        float(out[2])
+        float(out[1])
         best_xla = min(best_xla, time.perf_counter() - t0)
 
     fused = make_pallas_rhmc_diag_mxu(cfg.scene, img, cfg.prior, kmax,
                                       n_steps, fpi)
     xi = jax.random.normal(jax.random.key(8), theta0.shape)
-    fk = jax.jit(lambda t, x: fused(t, x, 0.02, mask, 1.0))
-    o = fk(theta0, xi)
-    jax.block_until_ready(o)
-    best_mxu = np.inf
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        o = fk(o[0], xi)
-        jax.block_until_ready(o)
-        best_mxu = min(best_mxu, time.perf_counter() - t0)
-    return (n_chains * n_steps / best_xla, n_chains * n_steps / best_mxu)
+    rate_mxu, _ = _scanned_traj_bench(fused, theta0, xi, mask, n_steps,
+                                      n_scan, repeats)
+    return (n_chains * n_steps * n_scan / best_xla, rate_mxu)
 
 
 def bench_mxu_repro(rounds: int = 3, repeats: int = 3):

@@ -137,7 +137,7 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
             metric = make_metric_fn(spec, prior)
         # Kernel dispatch (mirrors the hmc head): the fused Riemannian
         # trajectory kernels — pallas_rhmc (full metric, ~6x XLA) and
-        # pallas_rhmc_diag (diagonal metric, 3.4x XLA lanes / MXU layout
+        # pallas_rhmc_diag (diagonal metric, 6.5x XLA lanes / MXU layout
         # for crowded fields) — when the shape supports them.
         from .pallas_kernels import fused_supported
         from .pallas_rhmc_diag import diag_fused_supported
@@ -240,6 +240,12 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
                 f"(max_steps={cfg.smc.max_steps}); raise smc.max_steps"
             )
     elif cfg.head == "advi":
+        # ADVI intentionally skips mesh/checkpoint/blocked sampling: the
+        # fit is a seconds-scale deterministic optax loop on one chip (no
+        # long-run durability surface to protect), and its "draws" are
+        # 1000 iid samples from q in the SMC-style (P, 1, K, 3) layout
+        # (summarize_output moves particles onto the draw axis).  The
+        # logger still gets per-window ELBO records (SURVEY.md §5.5).
         mu0 = sample_prior(jax.random.fold_in(key, 2), cfg.kmax, prior)
         res = fit_advi(jax.random.fold_in(key, 1), grad_fn, mu0, mask, ADVIConfig())
         from .advi import advi_sample
@@ -248,6 +254,14 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         thetas = np.asarray(draws)[:, None, :, :]
         masks = np.asarray(mask)
         stats.update(elbo=float(np.asarray(res.elbo_trace)[-50:].mean()))
+        if logger is not None:
+            tr = np.asarray(res.elbo_trace)
+            n_win = 5
+            for i in range(n_win):
+                lo, hi = i * len(tr) // n_win, (i + 1) * len(tr) // n_win
+                if lo < hi:
+                    logger.log("advi_window", window=i, step_lo=lo,
+                               step_hi=hi, elbo=float(tr[lo:hi].mean()))
     else:
         raise ValueError(f"unknown head {cfg.head!r}")
 
@@ -284,11 +298,12 @@ def summarize_output(out: SampleOutput) -> dict[str, Any]:
         alive = mask[:, None, :]
     else:                 # per-draw (trans-d MCMC): (C, N, K)
         alive = mask
-    tot_flux = (np.exp(th[..., 2]) * alive).sum(-1)  # (C, N)
-    if tot_flux.shape[1] == 1 and tot_flux.shape[0] > 1:
+    def _series(a: np.ndarray) -> np.ndarray:
         # SMC/ADVI outputs are (P, 1): put particles on the draw axis so
         # sd/MCSE are computed across particles instead of degenerating
-        tot_flux = tot_flux.T
+        return a.T if (a.shape[1] == 1 and a.shape[0] > 1) else a
+
+    tot_flux = _series((np.exp(th[..., 2]) * alive).sum(-1))  # (C, N)
     summ = {"total_flux": diagnostics.summarize(tot_flux)}
     if mask.ndim >= 2:  # trans-dimensional: star-count posterior over n
         counts = alive.sum(-1).reshape(-1).astype(int)  # particles or draws
@@ -304,7 +319,7 @@ def summarize_output(out: SampleOutput) -> dict[str, Any]:
     if mask.ndim == 1 and th.shape[2] == 1:
         w = out.config.scene.width
         h = out.config.scene.height
-        summ["x"] = diagnostics.summarize(w / (1 + np.exp(-th[:, :, 0, 0])))
-        summ["y"] = diagnostics.summarize(h / (1 + np.exp(-th[:, :, 0, 1])))
-        summ["flux"] = diagnostics.summarize(np.exp(th[:, :, 0, 2]))
+        summ["x"] = diagnostics.summarize(_series(w / (1 + np.exp(-th[:, :, 0, 0]))))
+        summ["y"] = diagnostics.summarize(_series(h / (1 + np.exp(-th[:, :, 0, 1]))))
+        summ["flux"] = diagnostics.summarize(_series(np.exp(th[:, :, 0, 2])))
     return summ

@@ -4,8 +4,8 @@
 The diagonal-Fisher metric (metric.make_diag_metric_fn) is cfg4's default
 SMC mutation — the crowded-field hot loop (runs/diag_bench.json: the
 mutation is ~everything at that shape) — yet round 2 ran it through XLA
-autodiff at 105k generalized-leapfrog steps/s while the fused FULL-metric
-kernel (pallas_rhmc.py) did 222k.  This module fuses the diagonal path:
+autodiff (223k generalized-leapfrog steps/s, scan-amortized protocol)
+while the FULL-metric kernel was already fused (399k; BENCH_FULL.json).  This module fuses the diagonal path:
 strictly simpler than the full kernel — no (3K,3K) Fisher, no S tensor, no
 Cholesky/inverse; the metric is a (3K,) vector and every linear-algebra op
 collapses to elementwise lane math.
@@ -83,6 +83,10 @@ class _DiagStructs(NamedTuple):
 
     pr: _Profiles
     r1: jax.Array      # (H, W, T) 1/λ
+    r2: jax.Array      # (H, W, T) 1/λ² (used by every Picard sweep's cq)
+    sq: tuple          # (gxsq, gx1sq (K,W,T), gysq, gy1sq (K,H,T),
+                       #  cu, cv, cs (K,T)) — squared profiles/coefs cached
+                       #  once per θ; the q field rebuilds per sweep
     g: jax.Array       # (3, K, T) diagonal metric
     u: jax.Array       # (T,) U_β(θ)
     t1: jax.Array      # (3, K, T) θ-only part of dH/dθ
@@ -175,29 +179,32 @@ def _diag_metric(fisher, theta_blk, mask, prior: PriorSpec, beta,
     return g, infod
 
 
-def _q_field_diag(wt, pr: _Profiles, kmax: int):
+def _q_field_diag(wt, sq, kmax: int):
     """q_wt(p) = Σ_a wt_a·J_a(p)² as (H, W, T) — J_a² is separable per
-    star, so 2 rank-1 accumulations per star (gy² and gy1² rows)."""
-    h = pr.gy.shape[1]
-    wdt = pr.gx.shape[1]
-    t = pr.w.shape[-1]
+    star, so 2 rank-1 accumulations per star (gy² and gy1² rows).  sq is
+    the per-θ cache of squared profiles/coefs (built once, reused by all
+    Picard sweeps of a step — round-3 opt)."""
+    gxsq, gx1sq, gysq, gy1sq, cu, cv, cs = sq
+    h = gysq.shape[1]
+    wdt = gxsq.shape[1]
+    t = cu.shape[-1]
     q = jnp.zeros((h, wdt, t), jnp.float32)
     for i in range(kmax):
-        au = wt[0, i] * pr.wcx[i] ** 2                # (T,)
-        av = wt[1, i] * pr.wcy[i] ** 2
-        as_ = wt[2, i] * pr.w[i] ** 2
-        tx = au[None] * pr.gx1[i] ** 2 + as_[None] * pr.gx[i] ** 2  # (W, T)
-        q = q + (pr.gy[i] ** 2)[:, None, :] * tx[None, :, :]
-        tx2 = av[None] * pr.gx[i] ** 2
-        q = q + (pr.gy1[i] ** 2)[:, None, :] * tx2[None, :, :]
+        au = wt[0, i] * cu[i]                         # (T,)
+        av = wt[1, i] * cv[i]
+        as_ = wt[2, i] * cs[i]
+        tx = au[None] * gx1sq[i] + as_[None] * gxsq[i]  # (W, T)
+        q = q + gysq[i][:, None, :] * tx[None, :, :]
+        tx2 = av[None] * gxsq[i]
+        q = q + gy1sq[i][:, None, :] * tx2[None, :, :]
     return q
 
 
 def _wt_terms(st: _DiagStructs, wt, kmax: int, beta):
     """Σ_a wt_a ∂g_a/∂θ_c for weight vector wt (3, K, T) — the shared body
     of t1 (wt = 1/2g) and the per-sweep t2 (wt = −a²/2)."""
-    qf = _q_field_diag(wt, st.pr, kmax)
-    cq = _contract_grad(qf * st.r1 * st.r1, st.pr, kmax)       # (3, K, T)
+    qf = _q_field_diag(wt, st.sq, kmax)
+    cq = _contract_grad(qf * st.r2, st.pr, kmax)               # (3, K, T)
     cterm = jnp.stack([
         wt[0] * st.ctens[0, tc] + wt[1] * st.ctens[1, tc]
         + wt[2] * st.ctens[2, tc]
@@ -226,7 +233,9 @@ def _build_structs_diag(theta_blk, mask, image, spec: SceneSpec,
     fisher, ctens = _diag_fisher(pr, r1, kmax, with_c=True)
     g, infod = _diag_metric(fisher, theta_blk, mask, prior, beta, jitter)
 
-    st = _DiagStructs(pr, r1, g, u_pot, grad_u, ctens, infod)
+    sq = (pr.gx * pr.gx, pr.gx1 * pr.gx1, pr.gy * pr.gy, pr.gy1 * pr.gy1,
+          pr.wcx * pr.wcx, pr.wcy * pr.wcy, pr.w * pr.w)
+    st = _DiagStructs(pr, r1, r1 * r1, sq, g, u_pot, grad_u, ctens, infod)
     t1 = grad_u + _wt_terms(st, 0.5 / g, kmax, beta)
     return st._replace(t1=t1)
 

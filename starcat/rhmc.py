@@ -221,7 +221,7 @@ def make_pallas_rhmc_kernel(
     bookkeeping — runs inside one VMEM-resident kernel; only the momentum
     draw (as N(0,I) noise), step-size jitter and the MH coin stay in XLA.
     Measured ~6x the XLA autodiff path on a v5e chip at the config-1/2
-    shapes (full metric), 3.4x for the diagonal metric.  n_chains must be
+    shapes (full metric), 6.5x for the diagonal metric.  n_chains must be
     a multiple of the tile (128 lanes / 8 sublanes for the crowded-field
     MXU layout).  mask may be (K,) or per-chain (C, K).
 

@@ -62,7 +62,7 @@ class SMCConfig(NamedTuple):
     #                 (3K,P)@(P,3K) contraction dominates the step.
     # "rhmc_diag_pallas" — fused Pallas trajectory on the diagonal metric
     #                 (pallas_rhmc_diag.py): chains-on-lanes for small
-    #                 scenes (3.4x the XLA diag path), chains-on-sublanes
+    #                 scenes (6.5x the XLA diag path), chains-on-sublanes
     #                 MXU layout for crowded fields (config 4) — the
     #                 performance path for the cfg4 mutation.
     # "hmc"         — plain leapfrog, unit mass

@@ -262,12 +262,19 @@ def _warmup_jit(states, kernel, n_warmup, step_size, target_accept):
     def body(carry, _):
         st, da = carry
         st, info = kernel(st, jnp.exp(da.log_eps))
-        da = da_update(da, jnp.mean(info.accept_prob), target=target_accept)
-        return (st, da), None
+        acc = jnp.mean(info.accept_prob)
+        da = da_update(da, acc, target=target_accept)
+        # per-iteration pooled diagnostics (tiny: 4 scalars x n_warmup) so
+        # the driver can emit per-window warmup records like driver.warmup
+        # (SURVEY.md §5.5; VERDICT round-2 Weak #7: dual-averaging
+        # pathologies during the mask-varying warmup were invisible)
+        rec = (acc, jnp.mean(info.td_accept),
+               jnp.mean(jnp.sum(st.mask, axis=-1)), jnp.exp(da.log_eps))
+        return (st, da), rec
 
-    (st, da), _ = jax.lax.scan(body, (states, da_init(step_size)), None,
-                               length=n_warmup)
-    return st, jnp.exp(da.log_eps_bar)
+    (st, da), recs = jax.lax.scan(body, (states, da_init(step_size)), None,
+                                  length=n_warmup)
+    return st, jnp.exp(da.log_eps_bar), recs
 
 
 def _sample_jit(states, kernel, n_samples, eps):
@@ -344,9 +351,21 @@ def run_transdim(
         ck = restore_state(checkpoint_path, like)
         states, eps, start_done = ck.state, ck.step_size, int(ck.done)
     else:
-        states, eps = warm(states, kernel, n_warmup, cfg.step_size,
-                           cfg.target_accept)
+        states, eps, wrec = warm(states, kernel, n_warmup, cfg.step_size,
+                                 cfg.target_accept)
         if logger is not None:
+            acc, tda, mean_n, eps_tr = (np.asarray(r) for r in wrec)
+            n_win = min(4, n_warmup)
+            for i in range(n_win):
+                lo = i * n_warmup // n_win
+                hi = (i + 1) * n_warmup // n_win
+                logger.log(
+                    "warmup_window", head="transdim", window=i,
+                    accept=float(acc[lo:hi].mean()),
+                    td_accept=float(tda[lo:hi].mean()),
+                    mean_n=float(mean_n[lo:hi].mean()),
+                    step_size=float(eps_tr[hi - 1]),
+                )
             logger.log("warmup_complete", head="transdim",
                        step_size=float(eps), n_warmup=n_warmup)
 

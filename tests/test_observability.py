@@ -132,3 +132,52 @@ def test_chees_per_window_metrics(tmp_path):
     assert blocks[-1]["done"] == 400
     assert all(np.isfinite(b["traj_length"]) for b in blocks)
     assert np.isfinite(out.stats["traj_length"])
+
+
+def test_transdim_warmup_window_metrics(tmp_path):
+    """The trans-d head streams per-window WARMUP records (accept,
+    td_accept, mean star count, step size) — round-2 emitted only one
+    warmup_complete line, hiding dual-averaging pathologies during the
+    mask-varying warmup (VERDICT round-2 Weak #7)."""
+    mp = str(tmp_path / "metrics.jsonl")
+    cfg = apply_overrides(CONFIGS["cfg0_single_star"], {
+        "head": "transdim", "n_chains": "8", "n_samples": "20",
+        "n_warmup": "40",
+    })
+    sample(cfg, seed=0, metrics_path=mp)
+    events = _read_events(mp)
+    wins = [e for e in events if e["event"] == "warmup_window"]
+    assert len(wins) == 4, [e["event"] for e in events]
+    assert [w["window"] for w in wins] == [0, 1, 2, 3]
+    for w in wins:
+        assert 0.0 <= w["accept"] <= 1.0
+        assert 0.0 <= w["td_accept"] <= 1.0
+        assert w["step_size"] > 0.0
+        assert w["mean_n"] >= 0.0
+    assert any(e["event"] == "warmup_complete" for e in events)
+
+
+def test_advi_window_metrics(tmp_path):
+    """ADVI streams per-window ELBO records (its only long-running phase;
+    the head intentionally has no checkpoint/mesh surface — documented in
+    api.py)."""
+    mp = str(tmp_path / "metrics.jsonl")
+    cfg = apply_overrides(CONFIGS["cfg0_single_star"], {
+        "head": "advi", "n_chains": "4",
+    })
+    out = sample(cfg, seed=0, metrics_path=mp)
+    # the (P, 1, K, 3) iid-draw layout must summarize across particles —
+    # regression for the NaN sd/mcse per-slot rows
+    from starcat.api import summarize_output
+
+    summ = summarize_output(out)
+    for k in ("total_flux", "x", "y", "flux"):
+        assert np.isfinite(summ[k]["sd"]), (k, summ[k])
+        assert summ[k]["ess"] > 0, (k, summ[k])
+    events = _read_events(mp)
+    wins = [e for e in events if e["event"] == "advi_window"]
+    assert len(wins) == 5, [e["event"] for e in events]
+    elbos = [w["elbo"] for w in wins]
+    assert all(np.isfinite(v) for v in elbos)
+    # the ELBO must improve from the first window to the last
+    assert elbos[-1] > elbos[0]
