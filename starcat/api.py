@@ -87,7 +87,9 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
     if cfg.head in ("hmc", "oracle"):
         # Kernel dispatch: small scenes take the fused VPU trajectory
         # kernel (~3x XLA); crowded fields take the fused MXU kernel
-        # (1.29x XLA at the cfg4 shape); anything else stays on XLA
+        # (parity with XLA at the cfg4 shape — both exp-bound, see
+        # docs/DESIGN.md roofline; kept as the VMEM-resident path);
+        # anything else stays on XLA
         from .pallas_kernels import fused_supported
         from .pallas_mxu import mxu_fused_supported
 

@@ -121,8 +121,9 @@ def make_pallas_hmc_kernel(
 
     Kernel selection: small scenes take the chains-on-lanes VPU kernel
     (pallas_kernels.py); crowded fields whose lane fields overflow VMEM
-    take the chains-on-sublanes MXU kernel (pallas_mxu.py, measured 1.29x
-    the XLA path at the cfg4 shape) — both share the call contract.
+    take the chains-on-sublanes MXU kernel (pallas_mxu.py, measured at
+    parity with the XLA path at the cfg4 shape — both exp-bound, see
+    docs/DESIGN.md roofline) — both share the call contract.
     """
     from .pallas_kernels import fused_supported, make_pallas_leapfrog
     from .pallas_mxu import make_pallas_leapfrog_mxu
