@@ -435,7 +435,13 @@ def run_smc(
     step_mesh = (mesh if cfg.mutation in ("rhmc_pallas", "rhmc_diag_pallas")
                  else None)
 
-    if checkpoint_path is None and logger is None:
+    # The fully-fused smc_tempering path compiles the final rounds as ONE
+    # fori_loop device program; at cfg4 scale a many-hundred-round program
+    # crashes the TPU worker (observed at n_final_rounds=800, round 3).
+    # Large posterior-round budgets therefore always run the stepwise
+    # host loop (one step per jit call, ~20 ms dispatch each).
+    if (checkpoint_path is None and logger is None
+            and cfg.n_final_rounds <= 50):
         return smc_tempering(s0, spec, image, prior, cfg, mesh=step_mesh)
 
     import os

@@ -51,23 +51,19 @@ def test_api_sample_hmc_small():
 
 
 def test_cli_list_and_run():
-    env_script = (
+    # one subprocess for both commands (each python+jax startup costs ~5 s)
+    combined = (
         "import jax; jax.config.update('jax_platforms','cpu');"
-        "import starcat.__main__ as m; m.main(%r)"
+        "import starcat.__main__ as m; m.main(['list']);"
+        "m.main(['run', '--config', 'cfg0_single_star', 'n_chains=4',"
+        "        'n_samples=50', 'n_warmup=50'])"
     )
     r = subprocess.run(
-        [sys.executable, "-c", env_script % (["list"],)],
-        capture_output=True, text=True, timeout=300,
+        [sys.executable, "-c", combined],
+        capture_output=True, text=True, timeout=570,
     )
     assert r.returncode == 0, r.stderr
     assert "cfg2_nuts" in r.stdout
-
-    r = subprocess.run(
-        [sys.executable, "-c", env_script % (
-            ["run", "--config", "cfg0_single_star", "n_chains=4",
-             "n_samples=50", "n_warmup=50"],)],
-        capture_output=True, text=True, timeout=570,
-    )
     assert r.returncode == 0, r.stderr
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec["config"] == "cfg0_single_star"

@@ -141,8 +141,8 @@ def test_transdim_warmup_window_metrics(tmp_path):
     mask-varying warmup (VERDICT round-2 Weak #7)."""
     mp = str(tmp_path / "metrics.jsonl")
     cfg = apply_overrides(CONFIGS["cfg0_single_star"], {
-        "head": "transdim", "n_chains": "8", "n_samples": "20",
-        "n_warmup": "40",
+        "head": "transdim", "n_chains": "8", "n_samples": "8",
+        "n_warmup": "16",
     })
     sample(cfg, seed=0, metrics_path=mp)
     events = _read_events(mp)

@@ -33,6 +33,7 @@ def test_mxu_fused_supported_shapes():
     assert not mxu_fused_supported(SceneSpec(128, 128, 1.5, 20.0), 64, 1023)
 
 
+@pytest.mark.slow
 def test_mxu_kernel_matches_xla_path():
     img, pg, theta, p = _setup()
     mask = jnp.ones(K)
@@ -53,6 +54,7 @@ def test_mxu_kernel_matches_xla_path():
     assert rel.max() < 1e-4, rel.max()
 
 
+@pytest.mark.slow
 def test_mxu_kernel_per_chain_masks_freeze_dead():
     img, pg, theta, p = _setup()
     inv_mass = jnp.ones((K, 3))

@@ -1,5 +1,6 @@
 """Plotting smoke tests (L0 layer): figures render and save."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -9,6 +10,7 @@ from starcat.configs import apply_overrides, cfg0_single_star
 from starcat.plots import corner_plot, reconstruction_plot, save_report, trace_plot
 
 
+@pytest.mark.slow
 def test_plots_render_and_save(tmp_path):
     cfg = apply_overrides(
         cfg0_single_star,

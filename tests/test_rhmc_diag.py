@@ -77,19 +77,22 @@ def test_rhmc_diag_freezes_dead_slots():
     pfn = starcat.make_potential(SPEC, img, PRIOR)
     pg = starcat.make_potential_and_grad(SPEC, img, PRIOR)
     dmetric = make_diag_metric_fn(SPEC, PRIOR)
-    kernel = make_rhmc_kernel(pfn, dmetric, mask, RHMCConfig(n_leapfrog=5), diag_metric=True)
+    kernel = make_rhmc_kernel(pfn, dmetric, mask,
+                          RHMCConfig(n_leapfrog=2, fixed_point_iters=2),
+                          diag_metric=True)
     theta0 = sample_prior(jax.random.key(6), 2, PRIOR)[None].repeat(4, 0)
     res, _ = run_mcmc(
-        jax.random.key(7), kernel, lambda th: pg(th, mask), theta0, 20, 10,
+        jax.random.key(7), kernel, lambda th: pg(th, mask), theta0, 8, 6,
         step_size=0.2, adapt_mass=False,
     )
-    draws = np.asarray(res.thetas)  # (4, 20, 2, 3)
+    draws = np.asarray(res.thetas)  # (4, 8, 2, 3)
     np.testing.assert_array_equal(
         draws[:, :, 1, :], np.broadcast_to(np.asarray(theta0)[:, None, 1, :], draws[:, :, 1, :].shape)
     )
     assert np.std(draws[:, :, 0, 2]) > 0  # live slot moves
 
 
+@pytest.mark.slow
 def test_api_rhmc_metric_diag():
     """rhmc.metric="diag" reaches the head through configs/api (public CLI
     surface of the diagonal-Fisher option)."""

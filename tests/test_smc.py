@@ -86,6 +86,7 @@ def test_smc_matches_hmc_single_star():
         assert abs(sd_s - s_h["sd"]) / s_h["sd"] < 0.25, (nm, sd_s, s_h["sd"])
 
 
+@pytest.mark.slow
 def test_smc_rhmc_diag_mutation_recovers_truth():
     """mutation="rhmc_diag" (diagonal-Fisher Riemannian): tempering completes
     and the injected truth is recovered — the cheap crowded-field mutation

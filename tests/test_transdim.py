@@ -89,6 +89,7 @@ def test_birth_death_plus_split_merge_prior_recovery():
         assert ks.pvalue > 1e-4, ks
 
 
+@pytest.mark.slow
 def test_birth_increases_loglik_accept_bias():
     """With real data and an obvious missing star, birth proposals that land
     near it should be accepted more often than prior-rate."""
@@ -132,6 +133,7 @@ def test_mask_semantics_after_moves():
         np.testing.assert_allclose(float(ll), float(llf(theta, mask)), rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_residual_birth_prior_stationarity_with_real_image():
     """Detailed balance of the residual-driven birth/death (PCAT-style
     proposals): with a FLAT likelihood but a non-trivial image driving the

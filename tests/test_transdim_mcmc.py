@@ -236,6 +236,7 @@ def test_pallas_leapfrog_per_chain_masks():
     np.testing.assert_array_equal(np.asarray(g2)[dead], 0.0)
 
 
+@pytest.mark.slow
 def test_transdim_sharded_smoke():
     """Trans-d head on the fake 8-device chain mesh: state shards, the
     composed kernel partitions under GSPMD, results stay statistically
