@@ -150,8 +150,13 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
                          if diag_fused_supported(spec, cfg.kmax, cfg.n_chains)
                          else "pallas_rhmc_diag_mxu")
         else:
-            pallas_ok = (fused_supported(spec, cfg.kmax, cfg.n_chains)
-                         and cfg.n_chains % 128 == 0)
+            # same scene/kmax bounds as fused_supported, but the chain
+            # granularity is 64, not 128: the Riemannian kernel's tile
+            # auto-shrinks to gcd(C, 128) and a 64-wide tile is a full
+            # lane block that compiles and runs (measured round 3) — this
+            # admits the cfg1 preset (64 chains) onto the fused kernel
+            pallas_ok = (spec.height * spec.width <= 48 * 48
+                         and cfg.kmax <= 16 and cfg.n_chains % 64 == 0)
             kern_name = "pallas_rhmc"
         if jax.default_backend() == "tpu" and pallas_ok:
             from .rhmc import run_rhmc_pallas

@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from starcat.api import sample
 from starcat.configs import CONFIGS, apply_overrides
@@ -134,6 +135,7 @@ def test_chees_per_window_metrics(tmp_path):
     assert np.isfinite(out.stats["traj_length"])
 
 
+@pytest.mark.slow
 def test_transdim_warmup_window_metrics(tmp_path):
     """The trans-d head streams per-window WARMUP records (accept,
     td_accept, mean star count, step size) — round-2 emitted only one

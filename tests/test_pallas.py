@@ -22,6 +22,7 @@ def _setup(C=128):
     return cfg, img, mask, grad_fn, theta, p
 
 
+@pytest.mark.slow
 def test_fused_leapfrog_matches_xla_path():
     cfg, img, mask, grad_fn, theta, p = _setup()
     L = 5
@@ -65,6 +66,7 @@ def test_fused_leapfrog_mask_freezes():
     np.testing.assert_array_equal(np.asarray(g2)[:, 3, :], 0.0)
 
 
+@pytest.mark.slow
 def test_fused_leapfrog_grad_in_matches_internal():
     """Passing the entry gradient (carried in the HMC chain state) must
     reproduce the internally-recomputed trajectory exactly."""
@@ -142,6 +144,7 @@ def test_pallas_hmc_matches_hmc_tpu():
     assert cmp["z"] < 4.5, cmp
 
 
+@pytest.mark.slow
 def test_fused_leapfrog_dyn_matches_static():
     """Runtime-trip-count kernel == static-n kernel for every n (the ChEES
     fast path, VERDICT round-1 item 4)."""

@@ -200,6 +200,7 @@ def test_blocked_equals_unblocked_and_resume():
         )
 
 
+@pytest.mark.slow
 def test_pallas_leapfrog_per_chain_masks():
     """(C, K) per-chain masks in the fused kernel must match per-chain XLA
     leapfrog runs with each chain's own mask (interpret mode)."""
