@@ -141,7 +141,6 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         # trajectory kernels — pallas_rhmc (full metric, ~6x XLA) and
         # pallas_rhmc_diag (diagonal metric, 6.5x XLA lanes / MXU layout
         # for crowded fields) — when the shape supports them.
-        from .pallas_kernels import fused_supported
         from .pallas_rhmc_diag import diag_fused_supported
 
         if cfg.rhmc.metric == "diag":
