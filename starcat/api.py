@@ -216,7 +216,7 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         # from the sharded TDState; the pallas kernels have no GSPMD rule).
         if (jax.default_backend() == "tpu" and mesh is None
                 and fused_supported(spec, cfg.kmax, cfg.n_chains)
-                and tdm.mutation in ("hmc", "rhmc")):
+                and tdm.mutation in ("hmc", "rhmc", "rhmc_diag")):
             tdm = tdm._replace(mutation=tdm.mutation + "_pallas")
         stats["kernel"] = tdm.mutation
         res, eps = run_transdim(

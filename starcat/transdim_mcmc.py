@@ -57,8 +57,9 @@ from .transdim import TransDimConfig, transdim_sweep
 
 class TransDimMCMCConfig(NamedTuple):
     step_size: float = 0.1
-    # "hmc" | "rhmc" | "rhmc_diag" | "rhmc_pallas" | "hmc_pallas" move
-    # (rhmc_diag: diagonal-Fisher Riemannian — metric.make_diag_metric_fn)
+    # "hmc" | "rhmc" | "rhmc_diag" | "rhmc_pallas" | "rhmc_diag_pallas" |
+    # "hmc_pallas" within-model move (rhmc_diag: diagonal-Fisher Riemannian
+    # — metric.make_diag_metric_fn; *_pallas: fused trajectory kernels)
     mutation: str = "hmc"
     n_leapfrog: int = 10
     fixed_point_iters: int = 4
@@ -216,7 +217,7 @@ def make_transdim_kernel(
                     diag_metric=cfg.mutation == "rhmc_diag",
                 )
             )(sts, mask)
-        elif cfg.mutation == "rhmc_pallas":
+        elif cfg.mutation in ("rhmc_pallas", "rhmc_diag_pallas"):
             from .rhmc import make_pallas_rhmc_kernel
 
             rcfg = RHMCConfig(
@@ -225,7 +226,9 @@ def make_transdim_kernel(
                 divergence_threshold=cfg.divergence_threshold,
             )
             kern = make_pallas_rhmc_kernel(
-                spec, image, prior, mask, rcfg, beta=beta, interpret=interpret
+                spec, image, prior, mask, rcfg, beta=beta,
+                interpret=interpret,
+                diag_metric=cfg.mutation == "rhmc_diag_pallas",
             )
             sts, info = kern(
                 ChainState(theta, u, jnp.zeros_like(theta), k_wm), eps,

@@ -267,3 +267,26 @@ def test_smc_rhmc_diag_pallas_mutation_smoke():
     assert np.isfinite(float(res.log_z))
     assert np.isfinite(np.asarray(res.theta)).all()
     assert 0.0 < float(res.mean_accept) <= 1.0
+
+
+def test_transdim_rhmc_diag_pallas_mutation_smoke():
+    """Trans-d MCMC head on the fused diag-Riemannian mutation (per-chain
+    masks through the kernel's mask path; interpret mode on CPU)."""
+    from starcat.transdim import TransDimConfig
+    from starcat.transdim_mcmc import TransDimMCMCConfig, run_transdim
+
+    spec = starcat.SceneSpec(8, 8, 1.5, 4.0)
+    prior = starcat.PriorSpec(3.0, 0.7)
+    truth = starcat.sample_prior(jax.random.key(0), 2, prior)
+    x, y, f = starcat.constrain(truth, spec)
+    img = starcat.make_mock_image(jax.random.key(1), x, y, f, spec)
+    tdm = TransDimMCMCConfig(
+        step_size=0.1, mutation="rhmc_diag_pallas", n_leapfrog=2,
+        fixed_point_iters=2, n_transdim_sweeps=1,
+        transdim=TransDimConfig(lam_count=3.0),
+    )
+    res, eps = run_transdim(jax.random.key(2), spec, img, prior, 4, 16, 4, 4, tdm)
+    assert res.thetas.shape == (16, 4, 4, 3)
+    assert np.isfinite(np.asarray(res.thetas)).all()
+    assert 0.0 < float(np.asarray(res.accept_prob).mean()) <= 1.0
+    assert float(jnp.asarray(eps)) > 0.0
