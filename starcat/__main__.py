@@ -135,6 +135,15 @@ def cmd_validate(args):
             alive = np.asarray(out.masks)[:, :, 0] > 0.5     # (C, N)
             hrep["alive_frac"] = round(float(alive.mean()), 4)
             n_keep = int(alive.sum(1).min())
+            if n_keep == 0:
+                # a chain with zero alive draws in slot 0 leaves nothing to
+                # gate on — fail with an explicit reason instead of letting
+                # compare_moments NaN on empty arrays (ADVICE round 3)
+                report[head] = {"validated": False,
+                                "reason": "a chain has no alive slot-0 draws",
+                                "moments": hrep}
+                ok = False
+                continue
             draws = np.stack([draws[c][alive[c]][:n_keep]
                               for c in range(draws.shape[0])])
         hok = True

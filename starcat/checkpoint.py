@@ -35,11 +35,23 @@ def save_state(path: str, state: Any) -> None:
 
 def restore_state(path: str, like: Any) -> Any:
     """Restore a pytree saved by save_state; `like` supplies the structure
-    (a state with the same shapes/dtypes, e.g. a freshly-initialized one)."""
+    (a state with the same shapes/dtypes, e.g. a freshly-initialized one).
+
+    Sharding-aware (SURVEY.md §5.4 "multi-host-aware save of sharded
+    arrays"): every restored leaf is device_put to the corresponding `like`
+    leaf's sharding, so restoring into a NamedSharding-sharded template
+    (dist.shard_chains over a mesh) yields a state that resumes directly
+    on the mesh — orbax otherwise returns single-device-committed arrays,
+    which jit refuses to mix with sharded ones."""
     path = os.path.abspath(os.fspath(path))
     like_data = jax.tree.map(_key_to_data, like)
     restored = _checkpointer().restore(path, like_data)
-    return _rewrap_like(like, restored)
+    out = _rewrap_like(like, restored)
+    return jax.tree.map(
+        lambda l, r: (jax.device_put(r, l.sharding)
+                      if isinstance(l, jax.Array) else r),
+        like, out,
+    )
 
 
 def _is_key(x):

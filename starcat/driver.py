@@ -72,20 +72,35 @@ def warmup(
     step_size: float = 0.1,
     target_accept: float = 0.8,
     adapt_mass: bool = True,
+    divergence_penalty: float = 0.0,
 ) -> WarmupResult:
-    """Three-phase pooled warmup (15% eps / 60% eps+mass / 25% eps)."""
+    """Three-phase pooled warmup (15% eps / 60% eps+mass / 25% eps).
+
+    divergence_penalty > 0 makes dual averaging divergence-aware (VERDICT
+    round-3 item 5): the pooled statistic becomes mean(accept_prob) -
+    penalty * frac(diverged | solver_fail), so eps settles where failures
+    are rare — at equilibrium frac <= (1 - target_accept) / penalty —
+    instead of failures hiding inside ordinary MH rejections."""
     n1 = max(n_warmup * 15 // 100, 1)
     n3 = max(n_warmup * 25 // 100, 1)
     n2 = max(n_warmup - n1 - n3, 1)
     param_shape = states.theta.shape[1:]
     batch_kernel = _batched(kernel)
 
+    def _bad_frac(info):
+        bad = info.diverged
+        sf = getattr(info, "solver_fail", None)
+        if sf is not None:
+            bad = bad | sf
+        return jnp.mean(bad.astype(jnp.float32))
+
     def make_phase(accumulate: bool, n_steps: int):
         def body(carry, _):
             st, da, wf, inv_mass, acc = carry
             st, info = batch_kernel(st, jnp.exp(da.log_eps), inv_mass)
             a = jnp.mean(info.accept_prob)
-            da = da_update(da, a, target=target_accept)
+            a_da = a - divergence_penalty * _bad_frac(info)
+            da = da_update(da, a_da, target=target_accept)
             if accumulate:
                 wf = welford_update_batch(wf, st.theta)
             return (st, da, wf, inv_mass, acc + a), None
@@ -122,6 +137,10 @@ class SampleResult(NamedTuple):
     accept_prob: jax.Array   # (n_chains, n_samples)
     diverged: jax.Array      # (n_chains, n_samples)
     final_states: ChainState
+    # fixed-point-solver force-rejections (RHMC heads only; None for
+    # kernels whose info has no solver_fail) — reported separately from
+    # Delta-H divergences (VERDICT round-3 item 5)
+    solver_fail: jax.Array | None = None
 
 
 @partial(jax.jit, static_argnames=("kernel", "n_samples", "thin"))
@@ -141,24 +160,36 @@ def sample(
     diagnostics are those of the last transition per record.
     """
     batch_kernel = _batched(kernel)
+    seen_sf = {}  # populated at trace time: does this kernel's info carry it?
+
+    def _sf(info):
+        # kernels without solver accounting report a zeros placeholder so
+        # the scan carry keeps a fixed structure; sample() drops it again
+        seen_sf["v"] = hasattr(info, "solver_fail")
+        return (info.solver_fail if seen_sf["v"]
+                else jnp.zeros_like(info.diverged))
 
     def body(st, _):
         st, info = batch_kernel(st, step_size, inv_mass)
         if thin > 1:
             def sub(_, carry):
-                st, _, _ = carry
+                st, _, _, _ = carry
                 st, info = batch_kernel(st, step_size, inv_mass)
-                return st, info.accept_prob, info.diverged
+                return st, info.accept_prob, info.diverged, _sf(info)
 
-            st, ap, dv = jax.lax.fori_loop(
-                1, thin, sub, (st, info.accept_prob, info.diverged)
+            st, ap, dv, sf = jax.lax.fori_loop(
+                1, thin, sub,
+                (st, info.accept_prob, info.diverged, _sf(info))
             )
         else:
-            ap, dv = info.accept_prob, info.diverged
-        return st, (st.theta, ap, dv)
+            ap, dv, sf = info.accept_prob, info.diverged, _sf(info)
+        return st, (st.theta, ap, dv, sf)
 
-    st, (thetas, aprob, div) = jax.lax.scan(body, states, None, length=n_samples)
-    return SampleResult(jnp.moveaxis(thetas, 0, 1), aprob.T, div.T, st)
+    st, (thetas, aprob, div, sfail) = jax.lax.scan(
+        body, states, None, length=n_samples
+    )
+    return SampleResult(jnp.moveaxis(thetas, 0, 1), aprob.T, div.T, st,
+                        sfail.T if seen_sf.get("v") else None)
 
 
 class BlockCheckpoint(NamedTuple):
@@ -218,6 +249,7 @@ def sample_blocked(
     blocks = []
     aprobs = []
     divs = []
+    sfails = []
     done = start_done
     while done < n_samples:
         n = min(block_size, n_samples - done)
@@ -226,11 +258,15 @@ def sample_blocked(
         blocks.append(np.asarray(res.thetas))
         aprobs.append(np.asarray(res.accept_prob))
         divs.append(np.asarray(res.diverged))
+        if res.solver_fail is not None:
+            sfails.append(np.asarray(res.solver_fail))
         done += n
         if logger is not None:  # per-block observability (SURVEY.md §5.5)
+            extra = ({"solver_rejections": int(sfails[-1].sum())}
+                     if sfails else {})
             logger.log("sampling_block", done=done, n_total=n_samples,
                        accept=float(aprobs[-1].mean()),
-                       divergences=int(divs[-1].sum()))
+                       divergences=int(divs[-1].sum()), **extra)
         if checkpoint_path is not None:
             from .checkpoint import save_state
 
@@ -249,6 +285,8 @@ def sample_blocked(
         jnp.concatenate([jnp.asarray(a) for a in aprobs], axis=1),
         jnp.concatenate([jnp.asarray(d) for d in divs], axis=1),
         states,
+        (jnp.concatenate([jnp.asarray(s) for s in sfails], axis=1)
+         if sfails else None),
     )
 
 
@@ -267,6 +305,7 @@ def run_mcmc(
     resume: bool = False,
     logger=None,
     thin: int = 1,
+    divergence_penalty: float = 0.0,
 ):
     """init -> warmup -> sample; returns (SampleResult, WarmupResult).
 
@@ -297,6 +336,7 @@ def run_mcmc(
     wr = warmup(
         states, kernel, n_warmup,
         step_size=step_size, target_accept=target_accept, adapt_mass=adapt_mass,
+        divergence_penalty=divergence_penalty,
     )
     if logger is not None:  # per-phase warmup observability (SURVEY.md §5.5)
         import numpy as np

@@ -70,6 +70,20 @@ def kinetic_energy(p: jax.Array, inv_mass: jax.Array) -> jax.Array:
 class RiemannianLeapfrogResult(NamedTuple):
     theta: jax.Array
     p: jax.Array
+    # max (over steps and both implicit solves) relative last-sweep Picard
+    # delta ||x_k - x_{k-1}||_inf / (1 + ||x_k||_inf): a contraction-mapping
+    # estimate of the fixed-point solver error, tracked for free from the
+    # final sweep's carry.  Large values mean the solver did NOT converge —
+    # the proposal is not the symplectic map and must be rejected
+    # (rhmc_step's solver_fail; VERDICT round-3 item 5).
+    solver_resid: jax.Array
+
+
+def fp_delta(x_new: jax.Array, x_old: jax.Array) -> jax.Array:
+    """Relative sup-norm Picard delta (shared by the XLA and Pallas paths
+    so solver_tol means the same thing on both; reduces ALL axes — use
+    inside per-chain code, or axis-specified variants in the kernels)."""
+    return jnp.max(jnp.abs(x_new - x_old)) / (1.0 + jnp.max(jnp.abs(x_new)))
 
 
 def riemannian_leapfrog(
@@ -91,26 +105,38 @@ def riemannian_leapfrog(
         p_half    = p      - eps/2 * dH/dtheta(theta,  p_half)
         theta_new = theta  + eps/2 * [dH/dp(theta, p_half) + dH/dp(theta_new, p_half)]
         p_new     = p_half - eps/2 * dH/dtheta(theta_new, p_half)
+
+    The final sweep of each solve also reports its relative delta (see
+    RiemannianLeapfrogResult.solver_resid); sweep counts stay STATIC so the
+    XLA head remains step-for-step comparable with the fused Pallas kernels.
     """
 
     def fp(f, x0):
-        def body(_, x):
-            return f(x)
-        return jax.lax.fori_loop(0, fixed_point_iters, body, x0)
+        def body(_, carry):
+            x, _ = carry
+            x_new = f(x)
+            return x_new, fp_delta(x_new, x)
+        x, delta = jax.lax.fori_loop(
+            0, fixed_point_iters, body, (x0, jnp.zeros((), x0.dtype))
+        )
+        return x, delta
 
     def step(carry, _):
-        theta, p = carry
-        p_half = fp(lambda ph: p - 0.5 * eps * dH_dtheta(theta, ph), p)
+        theta, p, resid = carry
+        p_half, d1 = fp(lambda ph: p - 0.5 * eps * dH_dtheta(theta, ph), p)
         v0 = dH_dp(theta, p_half)
-        theta_new = fp(
+        theta_new, d2 = fp(
             lambda th: theta + 0.5 * eps * (v0 + dH_dp(th, p_half)),
             theta + eps * v0,
         )
         p_new = p_half - 0.5 * eps * dH_dtheta(theta_new, p_half)
-        return (theta_new, p_new), None
+        resid = jnp.maximum(resid, jnp.maximum(d1, d2))
+        return (theta_new, p_new, resid), None
 
-    (theta, p), _ = jax.lax.scan(step, (theta, p), None, length=n_steps)
-    return RiemannianLeapfrogResult(theta, p)
+    (theta, p, resid), _ = jax.lax.scan(
+        step, (theta, p, jnp.zeros((), theta.dtype)), None, length=n_steps
+    )
+    return RiemannianLeapfrogResult(theta, p, resid)
 
 
 # NOTE: an explicit symplectic integrator (Tao 2016 phase-space doubling,

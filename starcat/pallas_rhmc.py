@@ -515,7 +515,10 @@ def rhmc_trajectory_tile(
     and standalone in tests).
 
     theta, xi : (3K, T) packed [u; v; s];  eps (1, T);  mask (K, T)
-    Returns (theta' (3K, T), p' (3K, T), h0 (T,), h1 (T,), u1 (T,)).
+    Returns (theta' (3K, T), p' (3K, T), h0 (T,), h1 (T,), u1 (T,),
+    resid (T,)) — resid is the per-chain max relative last-Picard-sweep
+    delta (same statistic as integrators.riemannian_leapfrog.solver_resid,
+    reduced over the leading param axis).
 
     Momentum refresh happens in-kernel: p0 = (L(θ0)·ξ)·mask so the Cholesky
     of the initial metric is computed exactly once (mirrors rhmc.rhmc_step).
@@ -533,27 +536,40 @@ def rhmc_trajectory_tile(
     a0 = _matvec(st0.ginv, p0)
     h0 = st0.u + 0.5 * st0.logdet + 0.5 * jnp.sum(p0 * a0, axis=0)
 
+    def _delta(x_new, x_old):
+        # per-chain relative sup-norm Picard delta (leading-axis max
+        # reductions lower fine in Mosaic, like the h0 sum above)
+        return (jnp.max(jnp.abs(x_new - x_old), axis=0)
+                / (1.0 + jnp.max(jnp.abs(x_new), axis=0)))
+
     def step(_, carry):
-        theta_f, p_f, st = carry
+        theta_f, p_f, st, resid = carry
 
         # implicit momentum half-step: p_h = p − ε/2 dH/dθ(θ, p_h)
-        def p_sweep(_, ph):
-            return p_f - 0.5 * eps * _dh_dtheta(st, blk(ph), kmax, beta).reshape(d, -1)
+        def p_sweep(_, c):
+            ph, _ = c
+            ph_new = p_f - 0.5 * eps * _dh_dtheta(st, blk(ph), kmax, beta).reshape(d, -1)
+            return ph_new, _delta(ph_new, ph)
 
-        p_half = jax.lax.fori_loop(0, fixed_point_iters, p_sweep, p_f)
+        p_half, d1 = jax.lax.fori_loop(
+            0, fixed_point_iters, p_sweep, (p_f, jnp.zeros(p_f.shape[1:]))
+        )
 
         # implicit position step: θ′ = θ + ε/2 [G(θ)⁻¹ + G(θ′)⁻¹] p_h
         v0 = _matvec(st.ginv, p_half)
         base = theta_f + 0.5 * eps * v0
 
-        def t_sweep(_, th):
+        def t_sweep(_, c):
+            th, _ = c
             vk = _fisher_only_solve(
                 blk(th), mask, image, spec, prior, kmax, beta, jitter, p_half
             )
-            return base + 0.5 * eps * vk
+            th_new = base + 0.5 * eps * vk
+            return th_new, _delta(th_new, th)
 
-        theta_new = jax.lax.fori_loop(
-            0, fixed_point_iters, t_sweep, theta_f + eps * v0
+        theta_new, d2 = jax.lax.fori_loop(
+            0, fixed_point_iters, t_sweep,
+            (theta_f + eps * v0, jnp.zeros(theta_f.shape[1:])),
         )
 
         # rebuild θ-structs once; reused by the final momentum half-step,
@@ -564,18 +580,21 @@ def rhmc_trajectory_tile(
         p_new = p_half - 0.5 * eps * _dh_dtheta(
             st_new, blk(p_half), kmax, beta
         ).reshape(d, -1)
-        return theta_new, p_new, st_new
+        resid = jnp.maximum(resid, jnp.maximum(d1, d2))
+        return theta_new, p_new, st_new, resid
 
-    theta_f, p_f, st_f = jax.lax.fori_loop(0, n_steps, step, (theta, p0, st0))
+    theta_f, p_f, st_f, resid = jax.lax.fori_loop(
+        0, n_steps, step, (theta, p0, st0, jnp.zeros(theta.shape[1:]))
+    )
     a1 = _matvec(st_f.ginv, p_f)
     h1 = st_f.u + 0.5 * st_f.logdet + 0.5 * jnp.sum(p_f * a1, axis=0)
     u1 = st_f.u
-    return theta_f, p_f, h0, h1, u1
+    return theta_f, p_f, h0, h1, u1, resid
 
 
 def _rhmc_kernel(
     image_ref, eps_ref, beta_ref, mask_ref, theta_ref, xi_ref,
-    theta_out, p_out, h0_out, h1_out, u_out,
+    theta_out, p_out, h0_out, h1_out, u_out, resid_out,
     *, spec: SceneSpec, prior: PriorSpec, kmax: int, n_steps: int,
     fixed_point_iters: int, jitter: float,
 ):
@@ -584,7 +603,7 @@ def _rhmc_kernel(
     eps = eps_ref[:]
     mask = mask_ref[:]
     beta = beta_ref[0, 0]
-    th1, p1, h0, h1, u1 = rhmc_trajectory_tile(
+    th1, p1, h0, h1, u1, resid = rhmc_trajectory_tile(
         theta, xi, eps, mask, image_ref[:], spec, prior, kmax,
         n_steps, fixed_point_iters, beta, jitter,
     )
@@ -593,6 +612,7 @@ def _rhmc_kernel(
     h0_out[:] = h0[None, :]
     h1_out[:] = h1[None, :]
     u_out[:] = u1[None, :]
+    resid_out[:] = resid[None, :]
 
 
 def make_pallas_rhmc_leapfrog(
@@ -607,7 +627,7 @@ def make_pallas_rhmc_leapfrog(
     tile: int | None = None,
 ):
     """Build fused_rhmc(theta (C,K,3), xi (C,K,3), eps, mask, beta) ->
-    (theta' (C,K,3), p' (C,K,3), h0 (C,), h1 (C,), u1 (C,)).
+    (theta' (C,K,3), p' (C,K,3), h0 (C,), h1 (C,), u1 (C,), resid (C,)).
 
     eps: scalar or (C,); mask: (K,) shared or (C,K) per-chain (trans-d SMC);
     beta: scalar likelihood temperature (1.0 = posterior).  C % 128 == 0.
@@ -665,6 +685,7 @@ def make_pallas_rhmc_leapfrog(
                 pl.BlockSpec((1, tt), chain_block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tt), chain_block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tt), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tt), chain_block, memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((d3, c), jnp.float32),
@@ -672,14 +693,15 @@ def make_pallas_rhmc_leapfrog(
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
             ],
             interpret=interpret,
         )(image_f, eps_arr, beta_arr, mask_t, theta_t, xi_t)
 
-        theta_new, p_new, h0, h1, u1 = out
+        theta_new, p_new, h0, h1, u1, resid = out
         return (
             _unpack(theta_new, kmax), _unpack(p_new, kmax),
-            h0[0], h1[0], u1[0],
+            h0[0], h1[0], u1[0], resid[0],
         )
 
     return fused

@@ -266,7 +266,10 @@ def rhmc_diag_trajectory_tile(
     and standalone in tests).
 
     theta, xi : (3K, T) packed [u; v; s];  eps (1, T);  mask (K, T)
-    Returns (theta' (3K, T), p' (3K, T), h0 (T,), h1 (T,), u1 (T,)).
+    Returns (theta' (3K, T), p' (3K, T), h0 (T,), h1 (T,), u1 (T,),
+    resid (T,)) — resid is the per-chain max relative last-Picard-sweep
+    delta (the solver-convergence statistic of
+    integrators.riemannian_leapfrog.solver_resid).
 
     Momentum refresh in-kernel: p0 = √g(θ0)·ξ·mask.  Step and Picard-sweep
     semantics mirror integrators.riemannian_leapfrog exactly (same carries,
@@ -286,26 +289,38 @@ def rhmc_diag_trajectory_tile(
     h0 = h_of(st0, p0)
     eps_b = eps[0][None, None, :]                              # (1, 1, T)
 
+    def _delta(x_new, x_old):
+        # per-chain relative sup-norm Picard delta over the (3, K) axes
+        return (jnp.max(jnp.abs(x_new - x_old), axis=(0, 1))
+                / (1.0 + jnp.max(jnp.abs(x_new), axis=(0, 1))))
+
     def step(_, carry):
-        theta_b, p_b, st = carry
+        theta_b, p_b, st, resid = carry
 
         # implicit momentum half-step: p_h = p − ε/2 dH/dθ(θ, p_h)
-        def p_sweep(_, ph):
-            return p_b - 0.5 * eps_b * _dh_dtheta_diag(st, ph, kmax, beta)
+        def p_sweep(_, c):
+            ph, _ = c
+            ph_new = p_b - 0.5 * eps_b * _dh_dtheta_diag(st, ph, kmax, beta)
+            return ph_new, _delta(ph_new, ph)
 
-        p_half = jax.lax.fori_loop(0, fixed_point_iters, p_sweep, p_b)
+        p_half, d1 = jax.lax.fori_loop(
+            0, fixed_point_iters, p_sweep, (p_b, jnp.zeros(p_b.shape[-1]))
+        )
 
         # implicit position step: θ′ = θ + ε/2 [G(θ)⁻¹ + G(θ′)⁻¹] p_h
         v0 = p_half / st.g
         base = theta_b + 0.5 * eps_b * v0
 
-        def t_sweep(_, th):
+        def t_sweep(_, c):
+            th, _ = c
             vk = _diag_solve(th, mask, image, spec, prior, kmax, beta,
                              jitter, p_half)
-            return base + 0.5 * eps_b * vk
+            th_new = base + 0.5 * eps_b * vk
+            return th_new, _delta(th_new, th)
 
-        theta_new = jax.lax.fori_loop(
-            0, fixed_point_iters, t_sweep, theta_b + eps_b * v0
+        theta_new, d2 = jax.lax.fori_loop(
+            0, fixed_point_iters, t_sweep,
+            (theta_b + eps_b * v0, jnp.zeros(theta_b.shape[-1])),
         )
 
         # rebuild θ-structs once; reused by the final momentum half-step,
@@ -314,23 +329,25 @@ def rhmc_diag_trajectory_tile(
                                      kmax, beta, jitter)
         p_new = p_half - 0.5 * eps_b * _dh_dtheta_diag(st_new, p_half,
                                                        kmax, beta)
-        return theta_new, p_new, st_new
+        resid = jnp.maximum(resid, jnp.maximum(d1, d2))
+        return theta_new, p_new, st_new, resid
 
-    theta_f, p_f, st_f = jax.lax.fori_loop(
-        0, n_steps, step, (blk(theta), p0, st0)
+    theta_f, p_f, st_f, resid = jax.lax.fori_loop(
+        0, n_steps, step, (blk(theta), p0, st0, jnp.zeros(theta.shape[-1]))
     )
     h1 = h_of(st_f, p_f)
     d3 = 3 * kmax
-    return (theta_f.reshape(d3, -1), p_f.reshape(d3, -1), h0, h1, st_f.u)
+    return (theta_f.reshape(d3, -1), p_f.reshape(d3, -1), h0, h1, st_f.u,
+            resid)
 
 
 def _rhmc_diag_kernel(
     image_ref, eps_ref, beta_ref, mask_ref, theta_ref, xi_ref,
-    theta_out, p_out, h0_out, h1_out, u_out,
+    theta_out, p_out, h0_out, h1_out, u_out, resid_out,
     *, spec: SceneSpec, prior: PriorSpec, kmax: int, n_steps: int,
     fixed_point_iters: int, jitter: float,
 ):
-    th1, p1, h0, h1, u1 = rhmc_diag_trajectory_tile(
+    th1, p1, h0, h1, u1, resid = rhmc_diag_trajectory_tile(
         theta_ref[:], xi_ref[:], eps_ref[:], mask_ref[:], image_ref[:],
         spec, prior, kmax, n_steps, fixed_point_iters, beta_ref[0, 0],
         jitter,
@@ -340,6 +357,7 @@ def _rhmc_diag_kernel(
     h0_out[:] = h0[None, :]
     h1_out[:] = h1[None, :]
     u_out[:] = u1[None, :]
+    resid_out[:] = resid[None, :]
 
 
 def make_pallas_rhmc_diag_leapfrog(
@@ -354,7 +372,7 @@ def make_pallas_rhmc_diag_leapfrog(
     tile: int | None = None,
 ):
     """Build fused_rhmc_diag(theta (C,K,3), xi (C,K,3), eps, mask, beta) ->
-    (theta' (C,K,3), p' (C,K,3), h0 (C,), h1 (C,), u1 (C,)).
+    (theta' (C,K,3), p' (C,K,3), h0 (C,), h1 (C,), u1 (C,), resid (C,)).
 
     Same call contract as pallas_rhmc.make_pallas_rhmc_leapfrog: eps scalar
     or (C,); mask (K,) shared or (C,K) per-chain (trans-d SMC); beta scalar
@@ -407,6 +425,7 @@ def make_pallas_rhmc_diag_leapfrog(
                 pl.BlockSpec((1, tt), chain_block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tt), chain_block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tt), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tt), chain_block, memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((d3, c), jnp.float32),
@@ -414,14 +433,15 @@ def make_pallas_rhmc_diag_leapfrog(
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
             ],
             interpret=interpret,
         )(image_f, eps_arr, beta_arr, mask_t, theta_t, xi_t)
 
-        theta_new, p_new, h0, h1, u1 = out
+        theta_new, p_new, h0, h1, u1, resid = out
         return (
             _unpack(theta_new, kmax), _unpack(p_new, kmax),
-            h0[0], h1[0], u1[0],
+            h0[0], h1[0], u1[0], resid[0],
         )
 
     return fused
@@ -434,9 +454,31 @@ def diag_fused_supported(spec: SceneSpec, kmax: int, n_chains: int,
     profiles and the small (3K,T)/(3,3,K,T) state — must fit well inside
     the 64 MB scoped-vmem cap (crowded fields use the MXU variant)."""
     t = tile if n_chains % tile == 0 else math.gcd(n_chains, tile)
+    if t < 64:
+        # Mosaic tile rule (docs/DESIGN.md): only full-lane (128) and
+        # half-lane (64, a full block on a 64-chain array) tiles are
+        # verified to compile; a gcd-shrunk sub-64 tile is not a full
+        # block and fails lowering — route those chain counts to the
+        # MXU layout or XLA instead (ADVICE round 3, medium).
+        return False
     fields = 3 * spec.height * spec.width * t * 4
     prof = 6 * kmax * max(spec.height, spec.width) * t * 4
     return fields + prof < 24 * 2 ** 20
+
+
+def diag_mxu_supported(spec: SceneSpec, kmax: int, n_chains: int,
+                       tile: int = 8) -> bool:
+    """VMEM feasibility of the chains-on-sublanes MXU diag trajectory
+    (make_pallas_rhmc_diag_mxu): per-tile working set is ~10 profile sets
+    (T, K, max(H,W)) — 6 Gaussian profiles + 4 squared/cached — plus 4
+    pixel fields (T, H, W) (λ, R1, R2, q) and the image; must fit well
+    inside VMEM (same 12 MB budget as pallas_mxu.mxu_fused_supported)."""
+    prof = 10 * tile * kmax * max(spec.height, spec.width) * 4
+    fields = 4 * tile * spec.height * spec.width * 4
+    return (
+        n_chains % tile == 0
+        and prof + fields + spec.height * spec.width * 4 < 12 * 2**20
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -773,8 +815,8 @@ def rhmc_diag_trajectory_mxu(
     """Pure-JAX MXU-layout tile trajectory (chains on sublanes).
 
     theta, xi : (T, 3K) rows [ux | uy | s]; eps (T, 1); mask_tk (T, K).
-    Returns (theta' (T, 3K), p' (T, 3K), h0 (T,), h1 (T,), u1 (T,)).
-    Same generalized-leapfrog semantics as the lane variant
+    Returns (theta' (T, 3K), p' (T, 3K), h0 (T,), h1 (T,), u1 (T,),
+    resid (T,)).  Same generalized-leapfrog semantics as the lane variant
     (integrators.riemannian_leapfrog).
     """
     mask3 = jnp.concatenate([mask_tk] * 3, axis=1)       # (T, 3K)
@@ -786,45 +828,60 @@ def rhmc_diag_trajectory_mxu(
                           + 0.5 * jnp.sum(p * p / st.g, axis=1))
     h0 = h_of(st0, p0)
 
+    def _delta(x_new, x_old):
+        # per-chain relative sup-norm Picard delta over the 3K (lane) axis
+        return (jnp.max(jnp.abs(x_new - x_old), axis=1)
+                / (1.0 + jnp.max(jnp.abs(x_new), axis=1)))
+
     def step(_, carry):
-        theta_r, p_r, st = carry
+        theta_r, p_r, st, resid = carry
 
-        def p_sweep(_, ph):
-            return p_r - 0.5 * eps * _dh_dtheta_mxu(st, ph, kmax, beta)
+        def p_sweep(_, c):
+            ph, _ = c
+            ph_new = p_r - 0.5 * eps * _dh_dtheta_mxu(st, ph, kmax, beta)
+            return ph_new, _delta(ph_new, ph)
 
-        p_half = jax.lax.fori_loop(0, fixed_point_iters, p_sweep, p_r)
+        p_half, d1 = jax.lax.fori_loop(
+            0, fixed_point_iters, p_sweep, (p_r, jnp.zeros(p_r.shape[0]))
+        )
 
         v0 = p_half / st.g
         base = theta_r + 0.5 * eps * v0
 
-        def t_sweep(_, th):
+        def t_sweep(_, c):
+            th, _ = c
             gk = _diag_metric_mxu(th, mask_tk, spec, prior, kmax, beta,
                                   jitter)
-            return base + 0.5 * eps * (p_half / gk)
+            th_new = base + 0.5 * eps * (p_half / gk)
+            return th_new, _delta(th_new, th)
 
-        theta_new = jax.lax.fori_loop(
-            0, fixed_point_iters, t_sweep, theta_r + eps * v0
+        theta_new, d2 = jax.lax.fori_loop(
+            0, fixed_point_iters, t_sweep,
+            (theta_r + eps * v0, jnp.zeros(theta_r.shape[0])),
         )
 
         st_new = _build_stacks_mxu(theta_new, mask_tk, image, spec, prior,
                                    kmax, beta, jitter)
         p_new = p_half - 0.5 * eps * _dh_dtheta_mxu(st_new, p_half, kmax,
                                                     beta)
-        return theta_new, p_new, st_new
+        resid = jnp.maximum(resid, jnp.maximum(d1, d2))
+        return theta_new, p_new, st_new, resid
 
-    theta_f, p_f, st_f = jax.lax.fori_loop(0, n_steps, step, (theta, p0, st0))
+    theta_f, p_f, st_f, resid = jax.lax.fori_loop(
+        0, n_steps, step, (theta, p0, st0, jnp.zeros(theta.shape[0]))
+    )
     h1 = h_of(st_f, p_f)
-    return theta_f, p_f, h0, h1, st_f.u[:, 0]
+    return theta_f, p_f, h0, h1, st_f.u[:, 0], resid
 
 
 def _rhmc_diag_mxu_kernel(
     image_ref, eps_ref, beta_ref, mask_ref, theta_ref, xi_ref,
-    theta_out, p_out, h0_out, h1_out, u_out,
+    theta_out, p_out, h0_out, h1_out, u_out, resid_out,
     *, spec: SceneSpec, prior: PriorSpec, kmax: int, n_steps: int,
     fixed_point_iters: int, jitter: float,
 ):
     mask_tk = jnp.broadcast_to(mask_ref[:], (theta_ref.shape[0], kmax))
-    th1, p1, h0, h1, u1 = rhmc_diag_trajectory_mxu(
+    th1, p1, h0, h1, u1, resid = rhmc_diag_trajectory_mxu(
         theta_ref[:], xi_ref[:], eps_ref[:], mask_tk, image_ref[:],
         spec, prior, kmax, n_steps, fixed_point_iters, beta_ref[0, 0],
         jitter,
@@ -834,6 +891,7 @@ def _rhmc_diag_mxu_kernel(
     h0_out[:] = h0[:, None]
     h1_out[:] = h1[:, None]
     u_out[:] = u1[:, None]
+    resid_out[:] = resid[:, None]
 
 
 def make_pallas_rhmc_diag_mxu(
@@ -849,7 +907,8 @@ def make_pallas_rhmc_diag_mxu(
 ):
     """Crowded-field fused diag-Riemannian trajectory: same call contract
     as make_pallas_rhmc_diag_leapfrog — fused(theta (C,K,3), xi, eps, mask,
-    beta) -> (theta', p', h0, h1, u1).  C % tile == 0 (auto-shrunk gcd)."""
+    beta) -> (theta', p', h0, h1, u1, resid).  C % tile == 0 (auto-shrunk
+    gcd)."""
     from .pallas_mxu import _pack_rows, _unpack_rows
 
     d3 = 3 * kmax
@@ -902,6 +961,7 @@ def make_pallas_rhmc_diag_mxu(
                 pl.BlockSpec((t, 1), chain_block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((t, 1), chain_block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((t, 1), chain_block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 1), chain_block, memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((c, d3), jnp.float32),
@@ -909,14 +969,15 @@ def make_pallas_rhmc_diag_mxu(
                 jax.ShapeDtypeStruct((c, 1), jnp.float32),
                 jax.ShapeDtypeStruct((c, 1), jnp.float32),
                 jax.ShapeDtypeStruct((c, 1), jnp.float32),
+                jax.ShapeDtypeStruct((c, 1), jnp.float32),
             ],
             interpret=interpret,
         )(image_f, eps_arr, beta_arr, mask_arr, theta_t, xi_t)
 
-        theta_new, p_new, h0, h1, u1 = out
+        theta_new, p_new, h0, h1, u1, resid = out
         return (
             _unpack_rows(theta_new, kmax), _unpack_rows(p_new, kmax),
-            h0[:, 0], h1[:, 0], u1[:, 0],
+            h0[:, 0], h1[:, 0], u1[:, 0], resid[:, 0],
         )
 
     return fused

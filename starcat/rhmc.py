@@ -47,9 +47,22 @@ class RHMCConfig(NamedTuple):
     # The generalized (implicit, fixed-Picard-sweep) leapfrog is the only
     # integrator: an explicit Tao/Cobb doubled-phase-space scheme was
     # measured ~2.6x worse in ESS/s at every binding strength on config 1
-    # and retired (docs/DESIGN.md; runs/omega_sweep.json).  Solver failures
-    # show up as divergences and are MH-rejected (~5-15% of transitions on
-    # config 1 at the adapted step size — safe but wasteful).
+    # and retired (docs/DESIGN.md; runs/omega_sweep.json).
+    #
+    # Solver-failure handling (VERDICT round-3 item 5): fixed-point
+    # NON-convergence is detected directly from the final Picard sweep's
+    # relative delta (integrators.fp_delta) — a transition whose residual
+    # exceeds solver_tol is force-rejected (solver_fail, reported
+    # separately from Delta-H divergences) because its proposal is not the
+    # symplectic map the MH ratio assumes.  Recovery is via the step size:
+    # warmup's dual averaging subtracts divergence_penalty * (divergence +
+    # solver-failure fraction) from the pooled acceptance statistic, so eps
+    # settles where failures are rare (< ~(1-target)/penalty) instead of
+    # being invisible to adaptation.  A per-transition retry was considered
+    # and rejected: under vmap/Pallas lockstep, a retried chain costs every
+    # chain a second trajectory (docs/DESIGN.md).
+    solver_tol: float = 0.05
+    divergence_penalty: float = 5.0
 
 
 class RHMCInfo(NamedTuple):
@@ -57,6 +70,9 @@ class RHMCInfo(NamedTuple):
     accepted: jax.Array
     diverged: jax.Array
     energy_error: jax.Array
+    # fixed-point solver failed to converge (residual > solver_tol):
+    # force-rejected, counted separately from Delta-H divergences
+    solver_fail: jax.Array
 
 
 def make_rhmc_functions(potential_fn: Callable, metric_fn: Callable):
@@ -129,6 +145,7 @@ def rhmc_step(
     mask: jax.Array,
     divergence_threshold: float = 1000.0,
     diag_metric: bool = False,
+    solver_tol: float = 0.05,
 ):
     """One RHMC transition for a single chain (vmap over chains in driver).
 
@@ -160,6 +177,11 @@ def rhmc_step(
     energy_error = jnp.where(jnp.isfinite(h1 - h0), h1 - h0, jnp.inf)
     accept_prob = jnp.exp(jnp.minimum(0.0, -energy_error))
     diverged = energy_error > divergence_threshold
+    # solver non-convergence (NaN residual also fails): the proposal is not
+    # the reversible symplectic map, so force rejection regardless of
+    # Delta-H — and let accept_prob=0 teach dual averaging about it
+    solver_fail = ~(res.solver_resid < solver_tol)
+    accept_prob = jnp.where(solver_fail, 0.0, accept_prob)
 
     accept = jax.random.uniform(k_acc) < accept_prob
     theta_new = jnp.where(accept, res.theta, theta0).reshape(kshape)
@@ -167,7 +189,7 @@ def rhmc_step(
     u = jnp.where(accept, potential_fn(res.theta.reshape(kshape), mask), state.u)
 
     return ChainState(theta_new, u, state.grad, key), RHMCInfo(
-        accept_prob, accept, diverged, energy_error
+        accept_prob, accept, diverged, energy_error, solver_fail
     )
 
 
@@ -196,6 +218,7 @@ def make_rhmc_kernel(
             state, potential_fn, metric_fn, ham, dhdt, dhdp,
             eps, config.n_leapfrog, config.fixed_point_iters, mask,
             config.divergence_threshold, diag_metric=diag_metric,
+            solver_tol=config.solver_tol,
         )
 
     return kernel
@@ -212,6 +235,7 @@ def make_pallas_rhmc_kernel(
     interpret: bool = False,
     diag_metric: bool = False,
     mesh=None,
+    n_chains: int = 0,
 ):
     """Batched RHMC kernel on the fused Pallas Riemannian leapfrog
     (SURVEY.md ⑮ "Riemannian variant"; pallas_rhmc.py / pallas_rhmc_diag.py).
@@ -239,9 +263,12 @@ def make_pallas_rhmc_kernel(
             make_pallas_rhmc_diag_mxu,
         )
 
+        # n_chains=0 means "assume a full 128 lane tile"; callers pass the
+        # real chain count so the builder choice here matches the gate the
+        # dispatcher (api.py) used to pick the kernel name (ADVICE round 3)
         builder = (
             make_pallas_rhmc_diag_leapfrog
-            if diag_fused_supported(spec, kmax, 0)
+            if diag_fused_supported(spec, kmax, n_chains)
             else make_pallas_rhmc_diag_mxu
         )
         fused = builder(
@@ -266,7 +293,7 @@ def make_pallas_rhmc_kernel(
         fused = jax.shard_map(
             fused, mesh=mesh,
             in_specs=(PSpec(ax), PSpec(ax), PSpec(ax), mask_sp, PSpec()),
-            out_specs=(PSpec(ax),) * 5,
+            out_specs=(PSpec(ax),) * 6,
             # pallas_call's out_shape carries no varying-mesh-axes info, so
             # the vma check cannot see through it (as in smc.py)
             check_vma=False,
@@ -281,12 +308,15 @@ def make_pallas_rhmc_kernel(
         xi = jax.vmap(lambda k, t: jax.random.normal(k, t.shape, t.dtype))(
             k_mom, states.theta
         )
-        theta_new, _p_new, h0, h1, u_new = fused(
+        theta_new, _p_new, h0, h1, u_new, resid = fused(
             states.theta, xi, eps_c, mask, beta
         )
         energy_error = jnp.where(jnp.isfinite(h1 - h0), h1 - h0, jnp.inf)
         accept_prob = jnp.exp(jnp.minimum(0.0, -energy_error))
         diverged = energy_error > config.divergence_threshold
+        # solver non-convergence: force rejection (see rhmc_step)
+        solver_fail = ~(resid < config.solver_tol)
+        accept_prob = jnp.where(solver_fail, 0.0, accept_prob)
 
         accept = jax.vmap(jax.random.uniform)(k_acc) < accept_prob
         acc3 = accept[:, None, None]
@@ -294,7 +324,7 @@ def make_pallas_rhmc_kernel(
         u = jnp.where(accept, u_new, states.u)
 
         return ChainState(theta, u, states.grad, key), RHMCInfo(
-            accept_prob, accept, diverged, energy_error
+            accept_prob, accept, diverged, energy_error, solver_fail
         )
 
     kernel.is_batched = True
@@ -328,13 +358,14 @@ def run_rhmc_pallas(
     kernel = make_pallas_rhmc_kernel(spec, image, prior, mask, config,
                                      interpret=interpret,
                                      diag_metric=config.metric == "diag",
-                                     mesh=mesh)
+                                     mesh=mesh,
+                                     n_chains=int(theta0.shape[0]))
     return run_mcmc(
         key, kernel, grad_fn, theta0, n_samples, n_warmup,
         step_size=config.step_size, target_accept=config.target_accept,
         adapt_mass=False, block_size=block_size,
         checkpoint_path=checkpoint_path, resume=resume, logger=logger,
-        thin=thin,
+        thin=thin, divergence_penalty=config.divergence_penalty,
     )
 
 
@@ -367,5 +398,5 @@ def run_rhmc(
         step_size=config.step_size, target_accept=config.target_accept,
         adapt_mass=False, block_size=block_size,
         checkpoint_path=checkpoint_path, resume=resume, logger=logger,
-        thin=thin,
+        thin=thin, divergence_penalty=config.divergence_penalty,
     )

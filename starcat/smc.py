@@ -77,6 +77,25 @@ class SMCConfig(NamedTuple):
     # on cfg4).  At beta=1 the reweight is a no-op (d-beta = 0, equal
     # weights), so these are pure posterior MCMC rounds.
     n_final_rounds: int = 0
+    # Plateau-based stopping of the posterior rounds (VERDICT round-3 item
+    # 1: the shipped preset must converge out of the box).  When
+    # plateau_window > 0 the final rounds run in the stepwise host loop
+    # until the windowed mean star count stabilizes — stop when
+    # |mean_n(last W rounds) - mean_n(previous W rounds)| < plateau_tol
+    # (first checked after 2 W rounds), capped at max_final_rounds — and
+    # n_final_rounds is ignored.  Measured basis: the cfg4 star-count
+    # budget curve climbs monotonically and saturates ON the 50-star truth
+    # (runs/cfg4_seed101_ext2k_metrics.jsonl, round 3), so windowed-mean
+    # stability is exactly the convergence signal.
+    plateau_window: int = 0
+    plateau_tol: float = 0.25
+    max_final_rounds: int = 2000
+    # n_leapfrog for the POST-beta=1 rounds only (0 = same as n_leapfrog):
+    # once the reweight is a no-op the bottleneck is pure posterior mixing,
+    # and the crowded-field flux posterior mixes slowly at the short
+    # tempering trajectories (VERDICT round-3 item 2) — spend the cheap
+    # fused mutation on longer trajectories where they matter.
+    final_n_leapfrog: int = 0
     step_size0: float = 0.1
     target_accept: float = 0.65
     divergence_threshold: float = 1000.0
@@ -106,6 +125,21 @@ class SMCState(NamedTuple):
     final_done: jax.Array
 
 
+class _SMCStateV0(NamedTuple):
+    """Round-2 SMCState layout (no final_done) — restore template for
+    checkpoints written before the final_done field was added."""
+
+    key: jax.Array
+    theta: jax.Array
+    mask: jax.Array
+    loglik: jax.Array
+    beta: jax.Array
+    log_z: jax.Array
+    eps: jax.Array
+    n_steps: jax.Array
+    mean_accept: jax.Array
+
+
 class SMCResult(NamedTuple):
     theta: jax.Array
     mask: jax.Array
@@ -115,6 +149,7 @@ class SMCResult(NamedTuple):
     eps: jax.Array
     mean_accept: jax.Array
     beta: jax.Array  # final temperature; < 1 means max_steps capped the pass
+    final_done: jax.Array | None = None  # posterior rounds run (plateau mode)
 
 
 def ess_from_logw(logw: jax.Array) -> jax.Array:
@@ -274,7 +309,7 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
                 # close over traced values.
                 kern = make_pallas_rhmc_kernel(
                     spec, img, prior, m, rcfg, beta=beta_, interpret=interp,
-                    diag_metric=diag,
+                    diag_metric=diag, n_chains=int(m.shape[0]),
                 )
                 return kern(sts, eps_, jnp.ones(()))
 
@@ -378,9 +413,14 @@ def smc_tempering(
 
     s = jax.lax.while_loop(cond, step, s0)
     if cfg.n_final_rounds > 0:
-        s = jax.lax.fori_loop(0, cfg.n_final_rounds, lambda i, ss: step(ss), s)
+        fstep = (step if cfg.final_n_leapfrog in (0, cfg.n_leapfrog)
+                 else make_smc_step(
+                     spec, image, prior,
+                     cfg._replace(n_leapfrog=cfg.final_n_leapfrog),
+                     mesh=mesh))
+        s = jax.lax.fori_loop(0, cfg.n_final_rounds, lambda i, ss: fstep(ss), s)
     return SMCResult(s.theta, s.mask, s.loglik, s.log_z, s.n_steps, s.eps,
-                     s.mean_accept, s.beta)
+                     s.mean_accept, s.beta, s.final_done)
 
 
 @partial(jax.jit, static_argnames=("spec", "prior", "cfg", "mesh"))
@@ -427,21 +467,21 @@ def run_smc(
     if mesh is not None:
         from .dist import shard_chains
 
-        s0 = s0._replace(
-            theta=shard_chains(s0.theta, mesh),
-            mask=shard_chains(s0.mask, mesh),
-            loglik=shard_chains(s0.loglik, mesh),
-        )
+        # whole-state sharding: particle axes split, scalars replicated —
+        # also makes s0 a sharding-complete restore template (checkpoint
+        # resume on a mesh, SURVEY.md §5.4)
+        s0 = shard_chains(s0, mesh)
     step_mesh = (mesh if cfg.mutation in ("rhmc_pallas", "rhmc_diag_pallas")
                  else None)
 
     # The fully-fused smc_tempering path compiles the final rounds as ONE
     # fori_loop device program; at cfg4 scale a many-hundred-round program
     # crashes the TPU worker (observed at n_final_rounds=800, round 3).
-    # Large posterior-round budgets therefore always run the stepwise
-    # host loop (one step per jit call, ~20 ms dispatch each).
+    # Large posterior-round budgets — and the open-ended plateau-stopped
+    # mode — therefore always run the stepwise host loop (one step per jit
+    # call, ~20 ms dispatch each).
     if (checkpoint_path is None and logger is None
-            and cfg.n_final_rounds <= 50):
+            and cfg.n_final_rounds <= 50 and cfg.plateau_window <= 0):
         return smc_tempering(s0, spec, image, prior, cfg, mesh=step_mesh)
 
     import os
@@ -450,7 +490,15 @@ def run_smc(
     if resume and checkpoint_path is not None and os.path.exists(checkpoint_path):
         from .checkpoint import restore_state
 
-        s = restore_state(checkpoint_path, s0)
+        try:
+            s = restore_state(checkpoint_path, s0)
+        except Exception:
+            # Pre-round-3 checkpoints lack the final_done leaf (ADVICE r3):
+            # restore against the legacy structure and default final_done
+            # to 0 — the conservative old behavior (rerun all final rounds).
+            legacy = _SMCStateV0(*s0[:-1])
+            s = SMCState(*restore_state(checkpoint_path, legacy),
+                         final_done=jnp.zeros((), jnp.int32))
     final_left = max(cfg.n_final_rounds - int(s.final_done), 0)
 
     def emit_and_save(s):
@@ -469,9 +517,34 @@ def run_smc(
     while float(s.beta) < 1.0 and int(s.n_steps) < cfg.max_steps:
         s = _smc_step_jit(s, spec, image, prior, cfg, mesh=step_mesh)
         emit_and_save(s)
-    while final_left > 0:
-        s = _smc_step_jit(s, spec, image, prior, cfg, mesh=step_mesh)
-        final_left -= 1
-        emit_and_save(s)
+
+    # post-beta=1 posterior rounds, optionally with longer trajectories
+    # (final_n_leapfrog) — a separate compiled step program, reused
+    fcfg = (cfg if cfg.final_n_leapfrog in (0, cfg.n_leapfrog)
+            else cfg._replace(n_leapfrog=cfg.final_n_leapfrog))
+    if cfg.plateau_window > 0:
+        # plateau-stopped posterior rounds (VERDICT round-3 item 1): run
+        # until the windowed mean star count stops moving.  On resume the
+        # window restarts from the checkpointed state (conservative: at
+        # least 2*W more rounds), and final_done keeps the total under
+        # max_final_rounds across crashes.
+        w = cfg.plateau_window
+        hist: list[float] = []
+        # only posterior rounds are plateau-stopped; a max_steps-capped
+        # pass (beta < 1) returns immediately as before
+        while (float(s.beta) >= 1.0
+               and int(s.final_done) < cfg.max_final_rounds):
+            s = _smc_step_jit(s, spec, image, prior, fcfg, mesh=step_mesh)
+            emit_and_save(s)
+            hist.append(float(jnp.mean(jnp.sum(s.mask, axis=-1))))
+            if len(hist) >= 2 * w:
+                drift = abs(sum(hist[-w:]) / w - sum(hist[-2 * w:-w]) / w)
+                if drift < cfg.plateau_tol:
+                    break
+    else:
+        while final_left > 0:
+            s = _smc_step_jit(s, spec, image, prior, fcfg, mesh=step_mesh)
+            final_left -= 1
+            emit_and_save(s)
     return SMCResult(s.theta, s.mask, s.loglik, s.log_z, s.n_steps, s.eps,
-                     s.mean_accept, s.beta)
+                     s.mean_accept, s.beta, s.final_done)

@@ -66,6 +66,13 @@ class TransDimMCMCConfig(NamedTuple):
     n_transdim_sweeps: int = 2
     target_accept: float = 0.8
     divergence_threshold: float = 1000.0
+    # Solver-failure handling for the Riemannian mutations (VERDICT round-3
+    # item 5; see rhmc.RHMCConfig): residual-detected non-convergence is
+    # force-rejected and reported separately, and warmup's dual averaging
+    # subtracts divergence_penalty * failure fraction so eps settles where
+    # failures are rare.
+    solver_tol: float = 0.05
+    divergence_penalty: float = 5.0
     transdim: TransDimConfig = TransDimConfig()
 
 
@@ -84,6 +91,7 @@ class TDInfo(NamedTuple):
     diverged: jax.Array     # (C,)
     td_accept: jax.Array    # (C,) mean trans-d acceptance over the sweeps
     n_alive: jax.Array      # (C,) star count after the transition
+    solver_fail: jax.Array  # (C,) Riemannian fixed-point force-rejections
 
 
 def init_td_states(
@@ -215,6 +223,7 @@ def make_transdim_kernel(
                     cfg.n_leapfrog, cfg.fixed_point_iters, m,
                     cfg.divergence_threshold,
                     diag_metric=cfg.mutation == "rhmc_diag",
+                    solver_tol=cfg.solver_tol,
                 )
             )(sts, mask)
         elif cfg.mutation in ("rhmc_pallas", "rhmc_diag_pallas"):
@@ -224,6 +233,7 @@ def make_transdim_kernel(
                 n_leapfrog=cfg.n_leapfrog,
                 fixed_point_iters=cfg.fixed_point_iters,
                 divergence_threshold=cfg.divergence_threshold,
+                solver_tol=cfg.solver_tol,
             )
             kern = make_pallas_rhmc_kernel(
                 spec, image, prior, mask, rcfg, beta=beta,
@@ -242,8 +252,11 @@ def make_transdim_kernel(
         ll2 = -sts.u - lp2
 
         new = TDState(sts.theta, mask, ll2, key)
+        sf = getattr(info, "solver_fail", None)
+        if sf is None:  # HMC mutations have no implicit solver
+            sf = jnp.zeros_like(info.diverged)
         return new, TDInfo(info.accept_prob, info.diverged, td_accept,
-                           jnp.sum(mask, axis=-1))
+                           jnp.sum(mask, axis=-1), sf)
 
     return kernel
 
@@ -254,19 +267,27 @@ class TDSampleResult(NamedTuple):
     accept_prob: jax.Array  # (C, N)
     diverged: jax.Array     # (C, N)
     td_accept: jax.Array    # (C, N)
+    solver_fail: jax.Array  # (C, N) Riemannian solver force-rejections
     final_state: TDState
 
 
-def _warmup_jit(states, kernel, n_warmup, step_size, target_accept):
+def _warmup_jit(states, kernel, n_warmup, step_size, target_accept,
+                divergence_penalty=0.0):
     """Dual-averaging step-size warmup (no mass matrix: the mask varies per
     chain, so pooled Welford over dead slots would be meaningless; RHMC's
-    Fisher metric plays that role, and the HMC move uses unit mass)."""
+    Fisher metric plays that role, and the HMC move uses unit mass).
+
+    divergence_penalty: as driver.warmup — subtracted times the pooled
+    (diverged | solver_fail) fraction so eps learns about solver failures
+    (VERDICT round-3 item 5)."""
 
     def body(carry, _):
         st, da = carry
         st, info = kernel(st, jnp.exp(da.log_eps))
         acc = jnp.mean(info.accept_prob)
-        da = da_update(da, acc, target=target_accept)
+        bad = jnp.mean((info.diverged | info.solver_fail).astype(jnp.float32))
+        da = da_update(da, acc - divergence_penalty * bad,
+                       target=target_accept)
         # per-iteration pooled diagnostics (tiny: 4 scalars x n_warmup) so
         # the driver can emit per-window warmup records like driver.warmup
         # (SURVEY.md §5.5; VERDICT round-2 Weak #7: dual-averaging
@@ -284,14 +305,14 @@ def _sample_jit(states, kernel, n_samples, eps):
     def body(st, _):
         st, info = kernel(st, eps)
         return st, (st.theta, st.mask > 0.5, info.accept_prob, info.diverged,
-                    info.td_accept)
+                    info.td_accept, info.solver_fail)
 
-    st, (thetas, masks, aprob, div, td) = jax.lax.scan(
+    st, (thetas, masks, aprob, div, td, sf) = jax.lax.scan(
         body, states, None, length=n_samples
     )
     return TDSampleResult(
         jnp.moveaxis(thetas, 0, 1), jnp.moveaxis(masks, 0, 1),
-        aprob.T, div.T, td.T, st,
+        aprob.T, div.T, td.T, sf.T, st,
     )
 
 
@@ -355,7 +376,8 @@ def run_transdim(
         states, eps, start_done = ck.state, ck.step_size, int(ck.done)
     else:
         states, eps, wrec = warm(states, kernel, n_warmup, cfg.step_size,
-                                 cfg.target_accept)
+                                 cfg.target_accept,
+                                 cfg.divergence_penalty)
         if logger is not None:
             acc, tda, mean_n, eps_tr = (np.asarray(r) for r in wrec)
             n_win = min(4, n_warmup)
@@ -403,11 +425,12 @@ def run_transdim(
         return TDSampleResult(
             jnp.zeros((c, 0, k, 3)), jnp.zeros((c, 0, k), bool),
             jnp.zeros((c, 0)), jnp.zeros((c, 0), bool), jnp.zeros((c, 0)),
-            states,
+            jnp.zeros((c, 0), bool), states,
         ), eps
     cat = lambda xs: jnp.concatenate([jnp.asarray(x) for x in xs], axis=1)
     return TDSampleResult(
         cat([p.thetas for p in parts]), cat([p.masks for p in parts]),
         cat([p.accept_prob for p in parts]), cat([p.diverged for p in parts]),
-        cat([p.td_accept for p in parts]), states,
+        cat([p.td_accept for p in parts]), cat([p.solver_fail for p in parts]),
+        states,
     ), eps

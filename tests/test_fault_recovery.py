@@ -374,3 +374,60 @@ def test_smc_resume_skips_completed_final_rounds(tmp_path):
             cfg._replace(n_final_rounds=5), checkpoint_path=ckpt,
             resume=True, logger=c3)
     assert c3.steps == 2
+
+
+def test_sharded_checkpoint_roundtrip_and_resume(tmp_path):
+    """SURVEY.md §5.4 "multi-host-aware save of sharded arrays" (VERDICT
+    round-3 item 6): an SMCState whose particle arrays carry a NamedSharding
+    over the fake 8-device mesh is saved with save_state, restored into a
+    SHARDED template (leaves keep their sharding), and resumed — and the
+    resumed trajectory matches a resume of the same checkpoint restored
+    unsharded (the sharded program is the same program, SURVEY.md §5.8)."""
+    import jax
+    import jax.numpy as jnp
+
+    import starcat
+    from starcat.checkpoint import restore_state, save_state
+    from starcat.dist import make_mesh, shard_chains
+    from starcat.smc import SMCConfig, _smc_step_jit, init_smc
+    from starcat.transdim import TransDimConfig
+
+    spec = starcat.SceneSpec(12, 12, 1.5, 3.0)
+    prior = starcat.PriorSpec(3.0, 0.7)
+    truth = starcat.sample_prior(jax.random.key(0), 3, prior)
+    x, y, f = starcat.constrain(truth, spec)
+    img = starcat.make_mock_image(jax.random.key(1), x, y, f, spec)
+    cfg = SMCConfig(n_particles=64, mutation="hmc", n_leapfrog=3,
+                    n_mutation_steps=1, n_transdim_sweeps=1, max_steps=4,
+                    transdim=TransDimConfig(lam_count=2.0))
+
+    mesh = make_mesh("chains")
+    assert mesh.devices.size == 8  # conftest forces the fake 8-device mesh
+
+    def _shard(s):
+        # whole-state sharding: particle arrays split, scalars replicated
+        return shard_chains(s, mesh)
+
+    s = _shard(init_smc(jax.random.key(2), spec, img, prior, 5, cfg))
+    for _ in range(2):
+        s = _smc_step_jit(s, spec, img, prior, cfg)
+
+    ckpt = str(tmp_path / "smc_sharded")
+    save_state(ckpt, s)
+
+    # restore into a sharded template: every leaf keeps its NamedSharding
+    like = _shard(init_smc(jax.random.key(9), spec, img, prior, 5, cfg))
+    s_back = restore_state(ckpt, like)
+    assert len(s_back.theta.sharding.device_set) == 8, s_back.theta.sharding
+    np.testing.assert_array_equal(np.asarray(s_back.theta), np.asarray(s.theta))
+    np.testing.assert_array_equal(np.asarray(s_back.mask), np.asarray(s.mask))
+    assert float(s_back.beta) == float(s.beta)
+
+    # resume sharded vs resume unsharded: same checkpoint, same program
+    s_sh = _smc_step_jit(s_back, spec, img, prior, cfg)
+    like_un = init_smc(jax.random.key(9), spec, img, prior, 5, cfg)
+    s_un = _smc_step_jit(restore_state(ckpt, like_un), spec, img, prior, cfg)
+    np.testing.assert_allclose(np.asarray(s_sh.theta), np.asarray(s_un.theta),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s_sh.mask), np.asarray(s_un.mask))
+    assert np.isclose(float(s_sh.log_z), float(s_un.log_z), atol=1e-4)

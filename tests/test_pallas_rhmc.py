@@ -114,7 +114,7 @@ def test_trajectory_matches_xla_integrator(setup):
     theta_pk, mask_pk, st, chol = _structs(s)
     xi_pk = _pack(jax.random.normal(jax.random.key(4), (T, K, 3)), K)
     nst, fpi = 3, 5
-    th1, p1, h0, h1, u1 = prh.rhmc_trajectory_tile(
+    th1, p1, h0, h1, u1, _res = prh.rhmc_trajectory_tile(
         theta_pk, xi_pk, jnp.full((1, T), EPS), mask_pk,
         s["img"].astype(jnp.float32), s["spec"], s["prior"], K, nst, fpi,
         BETA, JITTER,
@@ -166,9 +166,9 @@ def test_pallas_call_interpret_matches_tile(setup):
         s["spec"], s["img"], s["prior"], K, n_steps=2, fixed_point_iters=3,
         jitter=JITTER, interpret=True,
     )
-    th1, p1, h0, h1, u1 = fused(theta_c, xi_c, eps_c, mask_c, BETA)
+    th1, p1, h0, h1, u1, _res = fused(theta_c, xi_c, eps_c, mask_c, BETA)
 
-    th1_t, p1_t, h0_t, h1_t, u1_t = prh.rhmc_trajectory_tile(
+    th1_t, p1_t, h0_t, h1_t, u1_t, _res_t = prh.rhmc_trajectory_tile(
         _pack(theta_c, K), _pack(xi_c, K), eps_c.reshape(1, c), mask_c.T,
         s["img"].astype(jnp.float32), s["spec"], s["prior"], K, 2, 3,
         jnp.asarray(BETA), JITTER,

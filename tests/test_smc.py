@@ -133,6 +133,7 @@ def test_transdim_smc_recovers_star_count():
     assert abs(np.median(tot) - 650.0) / 650.0 < 0.2
 
 
+@pytest.mark.slow
 def test_smc_sharded_matches_single_device():
     """SURVEY.md §4.2 distributed test: the same SMC program on a sharded
     8-device particle axis gives the same moments (same seeds => nearly
@@ -156,6 +157,7 @@ def test_smc_sharded_matches_single_device():
     np.testing.assert_allclose(float(res1.log_z), float(res2.log_z), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_smc_sharded_rhmc_diag_matches_single_device():
     """Sharded-vs-single invariance for the rhmc_diag mutation (pure XLA:
     GSPMD partitions it from the input shardings alone — no shard_map)."""
@@ -198,3 +200,26 @@ def test_smc_sharded_pallas_mutation():
     assert np.isfinite(np.asarray(res.theta)).all()
     # the mutation actually moved particles (acceptance not stuck at 0)
     assert float(res.mean_accept) > 0.05
+
+
+def test_plateau_stopped_final_rounds():
+    """Plateau stopping rule (VERDICT round-3 item 1): with
+    plateau_window > 0 the posterior rounds keep running after beta=1
+    until the windowed mean star count stabilizes, then STOP before
+    max_final_rounds; final_n_leapfrog switches the final-round step
+    program.  Single-star scene: the count stabilizes immediately, so the
+    loop must exit at exactly 2*window rounds."""
+    spec, prior, img, _ = _single_star_setup()
+    cfg = SMCConfig(
+        n_particles=256, mutation="hmc", n_leapfrog=5, n_mutation_steps=2,
+        n_transdim_sweeps=1, step_size0=0.1,
+        transdim=TransDimConfig(lam_count=1.0),
+        plateau_window=4, plateau_tol=0.5, max_final_rounds=60,
+        final_n_leapfrog=10,
+    )
+    res = run_smc(jax.random.key(3), spec, img, prior, 4, cfg)
+    assert float(res.beta) == 1.0
+    done = int(res.final_done)
+    assert 2 * cfg.plateau_window <= done < cfg.max_final_rounds
+    # the single-star posterior is trivially stable -> earliest possible stop
+    assert done == 2 * cfg.plateau_window
