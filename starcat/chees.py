@@ -46,7 +46,17 @@ class ChEESConfig(NamedTuple):
     step_size: float = 0.1
     traj_length: float = 1.0        # initial trajectory length T
     target_accept: float = 0.75
-    adam_lr: float = 0.025
+    # None = chain-count-aware default, resolved in run_chees: 0.025 below
+    # 1024 chains, 0.05 at >= 1024.  Measured basis (round 4,
+    # runs/chees_chain_sweep.json + runs/chees_lr_fix.json): the pooled
+    # ChEES gradient gets SMOOTHER as the chain pool grows, and the Adam
+    # ascent on log T then under-converges within the warmup budget —
+    # T collapsed 37 -> 5.6 at 1024 chains (ESS/s 15.2k -> 3.4k, the
+    # round-3 "collapse"), restored to T~30-58 and 16-22k ESS/s by
+    # lr 0.05 at 1024/4096 chains; conversely lr 0.05 at 256 chains
+    # (noisy small-pool gradient) LOSES 6.7x ESS/s, and lr 0.1 collapses
+    # T again even at 4096.  Set a number to override.
+    adam_lr: float | None = None
     max_leapfrog: int = 1024        # hard cap on steps per iteration
     divergence_threshold: float = 1000.0
 
@@ -210,6 +220,10 @@ def _chees_warmup_jit(
     n_divergent()) — the per-phase records mirror driver.warmup's
     observability (SURVEY.md §5.5) and n_divergent counts WARMUP divergences,
     which round 2 silently dropped (VERDICT round-2 Weak #1)."""
+    if config.adam_lr is None:  # chain-count-aware default (ChEESConfig)
+        config = config._replace(
+            adam_lr=0.05 if states.theta.shape[0] >= 1024 else 0.025
+        )
     param_shape = states.theta.shape[1:]
     n1 = max(n_warmup * 15 // 100, 1)
     n3 = max(n_warmup * 25 // 100, 1)
@@ -437,6 +451,11 @@ def run_chees(
     """
     import os
 
+    if config.adam_lr is None:
+        # chain-count-aware log-T learning rate (see ChEESConfig.adam_lr)
+        config = config._replace(
+            adam_lr=0.05 if theta0.shape[0] >= 1024 else 0.025
+        )
     states = init_chain_states(key, theta0, grad_fn)
     if resume and checkpoint_path is not None and os.path.exists(checkpoint_path):
         from .checkpoint import restore_state
