@@ -161,12 +161,19 @@ cfg4_crowded = _register(RunConfig(
         # (runs/cfg4_seed101_ext2k*, round 3), so a bare run now keeps
         # taking cheap posterior rounds until the windowed mean count stops
         # moving instead of shipping a fixed too-small budget (round 3's
-        # n_final_rounds=12 returned a known-unconverged mode 41).  Final
-        # rounds also run 4x-longer trajectories (final_n_leapfrog=24):
-        # at beta=1 the cost is pure posterior mixing, where the crowded
-        # flux posterior was the wall (VERDICT round-3 item 2).
+        # n_final_rounds=12 returned a known-unconverged mode 41).
+        # final_n_leapfrog deliberately NOT raised, n_islands deliberately
+        # 1: population-flux diversity measured FLAT across 16x trajectory
+        # lengths and 4x trans-d sweeps, and 16 independent-ancestry
+        # islands of 256 particles EXPOSE the true between-run spread
+        # (R-hat 1.50) while under-converging per island — the honest
+        # convergence gate at single-chip particle counts is cross-seed
+        # replication, and R-hat < 1.05 in one run is a multi-host
+        # operating point (~100 islands x >=1024 particles; islands shard
+        # trivially).  Full study: runs/cfg4_mix_*.json,
+        # runs/cfg4_islands16.json, docs/DESIGN.md "population diversity".
         plateau_window=50, plateau_tol=0.25, max_final_rounds=1500,
-        final_n_leapfrog=24, mutation_chunk=256,
+        mutation_chunk=256,
         transdim=TransDimConfig(lam_count=40.0, split_sigma=1.0,
                                 birth_proposal="residual"),
     ),

@@ -105,6 +105,11 @@ class SMCConfig(NamedTuple):
     # Picard sweep and crashes the chip at P=4096 (observed); 1024-particle
     # chunks keep peak memory flat without measurable slowdown.
     mutation_chunk: int = 1024
+    # > 1: independent-ancestry resampling islands (see
+    # systematic_resample) — preserves population diversity structurally;
+    # the tempering/eps schedule stays global (synchronized across
+    # islands), mutations are particle-local either way.
+    n_islands: int = 1
 
 
 class SMCState(NamedTuple):
@@ -157,13 +162,35 @@ def ess_from_logw(logw: jax.Array) -> jax.Array:
     return jnp.exp(2.0 * jax.nn.logsumexp(logw) - jax.nn.logsumexp(2.0 * logw))
 
 
-def systematic_resample(key: jax.Array, logw: jax.Array) -> jax.Array:
+def systematic_resample(key: jax.Array, logw: jax.Array,
+                        n_islands: int = 1) -> jax.Array:
     """Systematic resampling plan: (P,) parent indices, static shape.
 
     Deterministic given (key, logw): under sharding every device computes
     the same plan from the same key, then the gather is a collective.
+
+    n_islands > 1 partitions the P particles into contiguous islands that
+    resample ONLY within themselves (parent indices stay inside each
+    island).  Each island then carries an independent ancestry — the
+    population is a union of n_islands independent SMC runs sharing one
+    adaptive (beta, eps) schedule — which bounds ancestral collapse: a
+    single high-weight particle can take over at most P/n_islands slots.
+    Round-4 motivation (VERDICT round-3 item 2): the crowded-field
+    population's total-flux diversity is ancestral-lineage-limited (ESS
+    ~10-15 of 4096 regardless of mutation length/sweeps — see
+    runs/cfg4_mix_*.json), so diversity must be preserved structurally at
+    resampling rather than regenerated by mutation afterwards.
     """
     n = logw.shape[0]
+    if n_islands > 1:
+        assert n % n_islands == 0, (n, n_islands)
+        m = n // n_islands
+        keys = jax.random.split(key, n_islands)
+        local = jax.vmap(lambda k, lw: systematic_resample(k, lw))(
+            keys, logw.reshape(n_islands, m)
+        )
+        offs = (jnp.arange(n_islands, dtype=local.dtype) * m)[:, None]
+        return (local + offs).reshape(n)
     w = jax.nn.softmax(logw)
     cum = jnp.cumsum(w)
     u0 = jax.random.uniform(key) / n
@@ -256,7 +283,7 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
         log_z = s.log_z + jax.nn.logsumexp(logw) - jnp.log(float(p))
 
         # 3. systematic resampling (identical plan on every device)
-        idx = systematic_resample(k_res, logw)
+        idx = systematic_resample(k_res, logw, n_islands=cfg.n_islands)
         theta = s.theta[idx]
         mask = s.mask[idx]
         loglik = s.loglik[idx]

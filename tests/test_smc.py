@@ -223,3 +223,41 @@ def test_plateau_stopped_final_rounds():
     assert 2 * cfg.plateau_window <= done < cfg.max_final_rounds
     # the single-star posterior is trivially stable -> earliest possible stop
     assert done == 2 * cfg.plateau_window
+
+
+def test_island_resampling_stays_in_island_and_unbiased():
+    """Island resampling (round 4): parent indices stay inside each
+    island, expected offspring counts match the WITHIN-island weights, and
+    n_islands=1 is the plain global plan."""
+    key = jax.random.key(0)
+    logw = jax.random.normal(jax.random.key(1), (32,))
+    ni, m = 4, 8
+    idx = np.asarray(systematic_resample(key, logw, n_islands=ni))
+    for i in range(ni):
+        blk = idx[i * m:(i + 1) * m]
+        assert blk.min() >= i * m and blk.max() < (i + 1) * m
+    # unbiasedness within one island over many trials
+    trials = 2000
+    keys = jax.random.split(jax.random.key(2), trials)
+    idxs = np.asarray(jax.vmap(
+        lambda k: systematic_resample(k, logw, n_islands=ni))(keys))
+    w0 = np.asarray(jax.nn.softmax(logw[:m]))
+    counts = np.array([(idxs[:, :m] == j).mean() * m for j in range(m)])
+    np.testing.assert_allclose(counts, m * w0, atol=0.06)
+    # n_islands=1 falls back to the global plan
+    np.testing.assert_array_equal(
+        np.asarray(systematic_resample(key, logw)),
+        np.asarray(systematic_resample(key, logw, n_islands=1)))
+
+
+def test_island_smc_recovers_truth():
+    """Island SMC (n_islands > 1) still targets the same posterior: the
+    single-star flux posterior matches the truth, and the plan partitions
+    ancestry (final beta = 1)."""
+    spec, prior, img, (x, y, f) = _single_star_setup()
+    cfg = SMCConfig(n_particles=512, mutation="hmc", n_mutation_steps=2,
+                    n_leapfrog=5, n_islands=8)
+    res = run_smc(jax.random.key(5), spec, img, prior, 1, cfg)
+    assert float(res.beta) == 1.0
+    flux = np.exp(np.asarray(res.theta)[:, 0, 2])
+    assert abs(np.median(flux) - 300.0) / 300.0 < 0.15
