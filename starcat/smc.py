@@ -501,13 +501,18 @@ def run_smc(
     step_mesh = (mesh if cfg.mutation in ("rhmc_pallas", "rhmc_diag_pallas")
                  else None)
 
-    # The fully-fused smc_tempering path compiles the final rounds as ONE
-    # fori_loop device program; at cfg4 scale a many-hundred-round program
-    # crashes the TPU worker (observed at n_final_rounds=800, round 3).
-    # Large posterior-round budgets — and the open-ended plateau-stopped
-    # mode — therefore always run the stepwise host loop (one step per jit
-    # call, ~20 ms dispatch each).
-    if (checkpoint_path is None and logger is None
+    # The fully-fused smc_tempering path compiles the WHOLE pass as one
+    # device program.  Through the axon tunnel the TPU worker crashes on
+    # large single programs — observed at 800 fori_loop posterior rounds
+    # (round 3) and, after the round-4 solver-residual additions grew the
+    # mutation body, on the cfg3 tempering while_loop itself — so on the
+    # tpu backend the pass ALWAYS runs the stepwise host loop (one jit per
+    # temperature step; the ~20 ms dispatch is negligible against 0.5-17 s
+    # steps).  CPU/fake-mesh runs keep the single-program path: it is the
+    # GSPMD multi-chip reference, exercised by the sharded-invariance
+    # tests and dryrun_multichip.
+    if (jax.default_backend() != "tpu"
+            and checkpoint_path is None and logger is None
             and cfg.n_final_rounds <= 50 and cfg.plateau_window <= 0):
         return smc_tempering(s0, spec, image, prior, cfg, mesh=step_mesh)
 
