@@ -579,6 +579,13 @@ def main():
         full["chees_ess_per_sec"] = round(ch_rate, 1)
         full["chees_ess"] = round(float(ch_ess), 1)
         full["chees_traj_length"] = round(traj, 3)
+        # production chain count (round 4): the chain-count-aware adam_lr
+        # fixed the >=1024-chain collapse (runs/chees_chain_sweep.json) —
+        # measure the 1024-chain operating point in the artifact too
+        ch_rate_1k, ch_ess_1k, _, traj_1k = bench_ess_chees(n_chains=1024)
+        full["chees_ess_per_sec_1024"] = round(ch_rate_1k, 1)
+        full["chees_ess_1024"] = round(float(ch_ess_1k), 1)
+        full["chees_traj_length_1024"] = round(traj_1k, 3)
         full["crowded_field_xla_evals_per_sec"] = round(bench_crowded_field(), 1)
         full["crowded_field_mxu_evals_per_sec"] = round(bench_crowded_mxu(), 1)
         sweep = {}
