@@ -203,10 +203,17 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
             )
         else:
             stats["kernel"] = "xla"
+            blk = block
+            if jax.default_backend() == "tpu":
+                # the XLA Riemannian body in a >=250-step scan crashes the
+                # axon worker at >=256 chains (round 4; 100-step programs
+                # measured safe — same limit as warmup_blocked's chunks);
+                # the extra ~20 ms dispatch per block is negligible
+                blk = min(block or cfg.n_samples, 100)
             res, wr = run_rhmc(
                 jax.random.fold_in(key, 1), pfn, metric, grad_fn, theta0,
                 mask, cfg.n_samples, cfg.n_warmup, cfg.rhmc,
-                block_size=block, **ck,
+                block_size=blk, **ck,
             )
         thetas = np.asarray(res.thetas)
         stats.update(step_size=float(wr.step_size),

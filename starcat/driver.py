@@ -53,6 +53,17 @@ def _batched(kernel: Callable) -> Callable:
     return jax.vmap(kernel, in_axes=(0, None, None))
 
 
+def _bad_frac(info):
+    """Pooled fraction of failed transitions (Delta-H divergences plus, for
+    the Riemannian kernels, solver force-rejections) — the statistic the
+    divergence-penalized dual averaging subtracts (VERDICT round-3 item 5)."""
+    bad = info.diverged
+    sf = getattr(info, "solver_fail", None)
+    if sf is not None:
+        bad = bad | sf
+    return jnp.mean(bad.astype(jnp.float32))
+
+
 class WarmupResult(NamedTuple):
     states: ChainState
     step_size: jax.Array
@@ -64,7 +75,6 @@ class WarmupResult(NamedTuple):
     phase_eps: jax.Array | None = None
 
 
-@partial(jax.jit, static_argnames=("kernel", "n_warmup", "adapt_mass"))
 def warmup(
     states: ChainState,
     kernel: Callable,
@@ -79,55 +89,106 @@ def warmup(
     divergence_penalty > 0 makes dual averaging divergence-aware (VERDICT
     round-3 item 5): the pooled statistic becomes mean(accept_prob) -
     penalty * frac(diverged | solver_fail), so eps settles where failures
-    are rare — at equilibrium frac <= (1 - target_accept) / penalty —
-    instead of failures hiding inside ordinary MH rejections."""
+    are rare - at equilibrium frac <= (1 - target_accept) / penalty -
+    instead of failures hiding inside ordinary MH rejections.
+
+    Thin wrapper over warmup_blocked with one program per phase; the tpu
+    backend uses smaller blocks (run_mcmc) because the axon worker crashes
+    on large single programs.
+    """
+    return warmup_blocked(
+        states, kernel, n_warmup, step_size=step_size,
+        target_accept=target_accept, adapt_mass=adapt_mass,
+        divergence_penalty=divergence_penalty, block=max(n_warmup, 1),
+    )
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_steps", "accumulate"))
+def _warmup_chunk(
+    states: ChainState,
+    kernel: Callable,
+    da,
+    wf,
+    inv_mass: jax.Array,
+    acc: jax.Array,
+    n_steps: int,
+    accumulate: bool,
+    target_accept,
+    divergence_penalty,
+):
+    """n_steps warmup transitions as one device program (see warmup_blocked)."""
+    batch_kernel = _batched(kernel)
+
+    def body(carry, _):
+        st, da, wf, acc = carry
+        st, info = batch_kernel(st, jnp.exp(da.log_eps), inv_mass)
+        a = jnp.mean(info.accept_prob)
+        da = da_update(da, a - divergence_penalty * _bad_frac(info),
+                       target=target_accept)
+        if accumulate:
+            wf = welford_update_batch(wf, st.theta)
+        return (st, da, wf, acc + a), None
+
+    (st, da, wf, acc), _ = jax.lax.scan(
+        body, (states, da, wf, acc), None, length=n_steps
+    )
+    return st, da, wf, acc
+
+
+def warmup_blocked(
+    states: ChainState,
+    kernel: Callable,
+    n_warmup: int,
+    step_size: float = 0.1,
+    target_accept: float = 0.8,
+    adapt_mass: bool = True,
+    divergence_penalty: float = 0.0,
+    block: int = 100,
+) -> WarmupResult:
+    """warmup() with each phase split into <= block-step jit programs.
+
+    Bitwise-identical to warmup() — a scan split at chunk boundaries runs
+    the same op sequence (tested) — but every device program stays small.
+    Through the axon tunnel the TPU worker crashes on large single
+    programs; the one-program warmup scan was the largest program in every
+    MCMC head and crossed the limit at 256 chains x 400 steps on the XLA
+    full-metric RHMC body (round 4) — run_mcmc therefore routes warmup
+    through this on the tpu backend, mirroring run_smc's stepwise routing.
+    """
+    import math
+
     n1 = max(n_warmup * 15 // 100, 1)
     n3 = max(n_warmup * 25 // 100, 1)
     n2 = max(n_warmup - n1 - n3, 1)
     param_shape = states.theta.shape[1:]
-    batch_kernel = _batched(kernel)
 
-    def _bad_frac(info):
-        bad = info.diverged
-        sf = getattr(info, "solver_fail", None)
-        if sf is not None:
-            bad = bad | sf
-        return jnp.mean(bad.astype(jnp.float32))
-
-    def make_phase(accumulate: bool, n_steps: int):
-        def body(carry, _):
-            st, da, wf, inv_mass, acc = carry
-            st, info = batch_kernel(st, jnp.exp(da.log_eps), inv_mass)
-            a = jnp.mean(info.accept_prob)
-            a_da = a - divergence_penalty * _bad_frac(info)
-            da = da_update(da, a_da, target=target_accept)
-            if accumulate:
-                wf = welford_update_batch(wf, st.theta)
-            return (st, da, wf, inv_mass, acc + a), None
-
-        def run(st, da, wf, inv_mass):
-            (st, da, wf, inv_mass, acc), _ = jax.lax.scan(
-                body, (st, da, wf, inv_mass, jnp.zeros(())), None,
-                length=n_steps
+    def run_phase(st, da, wf, inv_mass, n, accumulate):
+        acc = jnp.zeros(())
+        nb = max(1, math.ceil(n / block))
+        b = math.ceil(n / nb)  # uniform chunks -> one compiled program
+        done = 0
+        while done < n:
+            k = min(b, n - done)
+            st, da, wf, acc = _warmup_chunk(
+                st, kernel, da, wf, inv_mass, acc, k, accumulate,
+                target_accept, divergence_penalty,
             )
-            return st, da, wf, inv_mass, acc / n_steps
-
-        return run
+            done += k
+        return st, da, wf, acc / n
 
     da = da_init(step_size)
     wf = welford_init(param_shape)
     inv_mass = jnp.ones(param_shape, jnp.float32)
 
-    st, da, wf, inv_mass, a1 = make_phase(False, n1)(states, da, wf, inv_mass)
+    st, da, wf, a1 = run_phase(states, da, wf, inv_mass, n1, False)
     e1 = jnp.exp(da.log_eps)
-    st, da, wf, inv_mass, a2 = make_phase(adapt_mass, n2)(st, da, wf, inv_mass)
+    st, da, wf, a2 = run_phase(st, da, wf, inv_mass, n2, adapt_mass)
     e2 = jnp.exp(da.log_eps)
     if adapt_mass:
         inv_mass = welford_variance(wf)
         da = da_restart(da)
-    st, da, wf, inv_mass, a3 = make_phase(False, n3)(st, da, wf, inv_mass)
+    st, da, wf, a3 = run_phase(st, da, wf, inv_mass, n3, False)
     e3 = jnp.exp(da.log_eps)
-
     return WarmupResult(st, jnp.exp(da.log_eps_bar), inv_mass,
                         jnp.stack([a1, a2, a3]), jnp.stack([e1, e2, e3]))
 
@@ -333,10 +394,13 @@ def run_mcmc(
             start_done=int(ck.done), logger=logger, thin=thin,
         )
         return res, wr
-    wr = warmup(
+    # tpu backend: small warmup chunks (the axon worker crashes on large
+    # single programs — see warmup_blocked); elsewhere one program/phase
+    wr = warmup_blocked(
         states, kernel, n_warmup,
         step_size=step_size, target_accept=target_accept, adapt_mass=adapt_mass,
         divergence_penalty=divergence_penalty,
+        block=100 if jax.default_backend() == "tpu" else max(n_warmup, 1),
     )
     if logger is not None:  # per-phase warmup observability (SURVEY.md §5.5)
         import numpy as np

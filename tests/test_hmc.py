@@ -160,3 +160,34 @@ def test_thinning_matches_unthinned_subsample():
     np.testing.assert_array_equal(
         np.asarray(res_a.thetas)[:, 2::3], np.asarray(res_b.thetas)
     )
+
+
+def test_warmup_blocked_equals_warmup():
+    """warmup_blocked (chunked jit programs, the tpu-backend routing) is
+    bitwise-identical to the one-program warmup: a scan split at chunk
+    boundaries runs the same op sequence (round 4; the axon worker crashes
+    on large single warmup programs)."""
+    from starcat.driver import init_chain_states, warmup, warmup_blocked
+    from starcat.hmc import HMCConfig, make_hmc_kernel
+
+    sigma = jnp.array([[0.5, 1.0, 2.0]])
+
+    def gf(theta):
+        z = theta / sigma
+        return 0.5 * jnp.sum(z * z), z / sigma
+
+    theta0 = 0.5 * jax.random.normal(jax.random.key(0), (8, 2, 3))
+    mask = jnp.ones(2)
+    kern = make_hmc_kernel(gf, mask, HMCConfig(step_size=0.2, n_leapfrog=5))
+    states = init_chain_states(jax.random.key(1), theta0, gf)
+
+    wr_a = warmup(states, kern, 57, step_size=0.2, divergence_penalty=1.0)
+    wr_b = warmup_blocked(states, kern, 57, step_size=0.2,
+                          divergence_penalty=1.0, block=10)
+    np.testing.assert_array_equal(np.asarray(wr_a.states.theta),
+                                  np.asarray(wr_b.states.theta))
+    assert float(wr_a.step_size) == float(wr_b.step_size)
+    np.testing.assert_array_equal(np.asarray(wr_a.inv_mass),
+                                  np.asarray(wr_b.inv_mass))
+    np.testing.assert_array_equal(np.asarray(wr_a.phase_accept),
+                                  np.asarray(wr_b.phase_accept))
