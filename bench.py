@@ -522,6 +522,114 @@ def bench_crowded_field(n_chains: int = 1024, n_leapfrog: int = 10,
     return n_chains * n_leapfrog * n_scan / best
 
 
+def bench_scaling(device_counts=None, n_chains: int = 1024,
+                  n_samples: int = 100, n_leapfrog: int = 10,
+                  verify: bool = False):
+    """Turn-key multi-chip/multi-host scaling harness (VERDICT round-4
+    item 5; BASELINE.json:5 "samples/s at 1 chip, 1 host and N hosts").
+
+    Protocol (SURVEY.md §7.3 "multi-host jitter and benchmark honesty"):
+    for each device count d, shard the chain axis of the flagship config-2
+    HMC workload over a d-device mesh, synchronize every device with a
+    psum-of-ones BARRIER, then time a fixed sampling scan end to end and
+    report samples/s (= chains x draws / wall).  Efficiency is measured
+    against the 1-device row's per-device rate, so a multi-host run's
+    >=95% target (BASELINE.json:5) reads directly off the output.
+
+    On this VM only one real chip exists, so the TPU run emits the 1-chip
+    row; the same function runs on the fake 8-device CPU mesh
+    (conftest/XLA_FLAGS trick) where `verify=True` additionally asserts
+    the PLUMBING — per-device work (the sampled draws actually live on d
+    devices) and collective counts (the pooled-warmup program contains
+    cross-device all-reduces exactly when d > 1) — wall-clock numbers on
+    the fake mesh are meaningless and not asserted.  A real pod run is:
+        python bench.py --scaling            # on each host, via
+        starcat.dist.init_distributed(...)   # jax.distributed
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    import starcat
+    from starcat.configs import CONFIGS
+    from starcat.dist import make_mesh, shard_chains
+    from starcat.driver import (
+        _warmup_chunk, init_chain_states, sample as drv_sample,
+    )
+    from starcat.adapt import da_init, welford_init
+    from starcat.hmc import HMCConfig, make_hmc_kernel
+
+    cfg, truth, img, mask, _, _, _ = _bench_setup(max(n_chains, 128))
+    pg = starcat.make_potential_and_grad(cfg.scene, img, cfg.prior)
+    grad_fn = lambda th: pg(th, mask)
+    kernel = make_hmc_kernel(
+        grad_fn, mask, HMCConfig(step_size=0.02, n_leapfrog=n_leapfrog))
+
+    n_avail = len(jax.devices())
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32, 64) if d <= n_avail]
+    rows = []
+    for d in device_counts:
+        mesh = make_mesh("chains", n_devices=d)
+        c = max(n_chains // d, 1) * d  # divisible chain count
+        theta0 = truth[None] + 0.01 * jax.random.normal(
+            jax.random.key(0), (c,) + truth.shape)
+        theta0 = shard_chains(theta0, mesh)
+        states = init_chain_states(jax.random.key(1), theta0, grad_fn)
+        eps = jnp.asarray(0.02)
+        inv_mass = jnp.ones(truth.shape, jnp.float32)
+
+        if verify:
+            # collective count: the pooled-warmup chunk (per-iteration
+            # cross-chain mean feeding dual averaging) must lower to
+            # cross-device all-reduces exactly when the mesh has > 1 device
+            da = da_init(0.02)
+            wf = welford_init(truth.shape)
+            hlo = _warmup_chunk.lower(
+                states, kernel, da, wf, inv_mass, jnp.zeros(()), 5, True,
+                0.8, 0.0,
+            ).compile().as_text()
+            n_ar = hlo.count("all-reduce")
+            assert (n_ar > 0) == (d > 1), (d, n_ar)
+
+        # psum-of-ones barrier over the mesh: every device aligned before
+        # the timer starts (SURVEY.md §7.3 benchmark honesty)
+        ones = shard_chains(jnp.ones((d,), jnp.float32), mesh)
+        barrier = jax.jit(jax.shard_map(
+            lambda x: jax.lax.psum(jnp.sum(x), "chains"),
+            mesh=mesh, in_specs=P("chains"), out_specs=P()))
+        jax.block_until_ready(barrier(ones))
+
+        # warm the sampling program, then barrier + time it
+        r = drv_sample(states, kernel, n_samples, eps, inv_mass)
+        jax.block_until_ready(r.thetas)
+        jax.block_until_ready(barrier(ones))
+        t0 = time.perf_counter()
+        r = drv_sample(r.final_states, kernel, n_samples, eps, inv_mass)
+        jax.block_until_ready(r.thetas)
+        dt = time.perf_counter() - t0
+        if verify:  # per-device work: the draws really live on d devices
+            assert len(r.thetas.sharding.device_set) == d, r.thetas.sharding
+        rows.append({
+            "devices": d,
+            "chains": c,
+            "samples_per_sec": round(c * n_samples / dt, 1),
+            "sec": round(dt, 4),
+        })
+    base = rows[0]["samples_per_sec"] / rows[0]["devices"]
+    for row in rows:
+        row["efficiency_vs_1dev"] = round(
+            row["samples_per_sec"] / (base * row["devices"]), 4)
+    return {
+        "metric": "hmc_samples_per_sec_scaling",
+        "unit": "chains*draws/s",
+        "workload": f"cfg2 scene, {n_leapfrog}-leapfrog HMC, "
+                    f"{n_samples} draws, barrier-synced",
+        "backend": jax.default_backend(),
+        "points": rows,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     # 32768 chains is the single-chip saturation point of the fused kernel
@@ -536,6 +644,9 @@ def main():
     ap.add_argument("--mxu-repro", action="store_true",
                     help="alternated MXU-vs-XLA crowded-field comparison "
                          "(>=3 rounds, one process) and exit")
+    ap.add_argument("--scaling", action="store_true",
+                    help="barrier-synchronized samples/s over 1..N-device "
+                         "meshes (BASELINE.json:5 scaling points) and exit")
     ap.add_argument("--retime-baseline", action="store_true",
                     help="re-measure the NumPy baseline instead of the pin")
     args = ap.parse_args()
@@ -545,6 +656,9 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if args.mxu_repro:
         print(json.dumps(bench_mxu_repro(repeats=args.repeats)))
+        raise SystemExit(0)
+    if args.scaling:
+        print(json.dumps(bench_scaling()))
         raise SystemExit(0)
     rate, best = bench_pallas_grad_evals(args.chains, args.leapfrog,
                                          args.scan, args.repeats)

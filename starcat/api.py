@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import diagnostics
-from .advi import ADVIConfig, fit_advi
+from .advi import fit_advi
 from .configs import RunConfig
 from .hmc import run_hmc
 from .metric import make_metric_fn
@@ -203,13 +203,16 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
             )
         else:
             stats["kernel"] = "xla"
+            # the XLA Riemannian body in a >=250-step scan crashes this
+            # VM's axon worker at >=256 chains (round 4; 100-step programs
+            # measured safe) — capped by runtime.max_program_steps, one
+            # knob shared with warmup/SMC (VERDICT round-4 item 6); the
+            # extra ~20 ms dispatch per block is negligible
+            from .runtime import max_program_steps
+
             blk = block
-            if jax.default_backend() == "tpu":
-                # the XLA Riemannian body in a >=250-step scan crashes the
-                # axon worker at >=256 chains (round 4; 100-step programs
-                # measured safe — same limit as warmup_blocked's chunks);
-                # the extra ~20 ms dispatch per block is negligible
-                blk = min(block or cfg.n_samples, 100)
+            if max_program_steps() is not None:
+                blk = min(block or cfg.n_samples, max_program_steps())
             res, wr = run_rhmc(
                 jax.random.fold_in(key, 1), pfn, metric, grad_fn, theta0,
                 mask, cfg.n_samples, cfg.n_warmup, cfg.rhmc,
@@ -248,6 +251,13 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
                      accept=float(np.asarray(res.accept_prob).mean()),
                      divergences=int(np.asarray(res.diverged).sum()),
                      warmup_divergences=int(ad["warmup_divergences"]))
+        if "traj_converged" in ad:
+            # adapted-T sanity band (VERDICT round-4 item 1c): drift of the
+            # log-T ascent over the last two warmup windows; a resumed run
+            # restores T from its checkpoint and has no drift to report
+            stats.update(traj_drift=ad["traj_drift"],
+                         traj_converged=ad["traj_converged"],
+                         warmup_extensions=ad["warmup_extensions"])
         masks = np.asarray(mask)
     elif cfg.head == "transdim":
         from .pallas_kernels import fused_supported
@@ -291,6 +301,11 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
             # posterior rounds actually run (plateau-stopped when
             # smc.plateau_window > 0 — VERDICT round-3 item 1)
             stats["final_rounds"] = int(res.final_done)
+        if res.island_diag is not None:
+            # between-island convergence gate (VERDICT round-4 item 2):
+            # islands are independent ancestries, so their R̂ measures true
+            # population spread where pooled split-R̂ understates it
+            stats.update(res.island_diag)
         if float(res.beta) < 1.0:
             stats["warning"] = (
                 f"tempering capped at beta={float(res.beta):.4f} "
@@ -304,10 +319,20 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
         # (summarize_output moves particles onto the draw axis).  The
         # logger still gets per-window ELBO records (SURVEY.md §5.5).
         mu0 = sample_prior(jax.random.fold_in(key, 2), cfg.kmax, prior)
-        res = fit_advi(jax.random.fold_in(key, 1), grad_fn, mu0, mask, ADVIConfig())
-        from .advi import advi_sample
+        if cfg.advi.full_rank:
+            from .advi import advi_sample_fullrank, fit_advi_fullrank
 
-        draws = advi_sample(jax.random.fold_in(key, 3), res, mask, 1000)
+            res = fit_advi_fullrank(jax.random.fold_in(key, 1), grad_fn,
+                                    mu0, cfg.advi)
+            draws = advi_sample_fullrank(jax.random.fold_in(key, 3), res, 1000)
+            stats["family"] = "full_rank"
+        else:
+            from .advi import advi_sample
+
+            res = fit_advi(jax.random.fold_in(key, 1), grad_fn, mu0, mask,
+                           cfg.advi)
+            draws = advi_sample(jax.random.fold_in(key, 3), res, mask, 1000)
+            stats["family"] = "mean_field"
         thetas = np.asarray(draws)[:, None, :, :]
         masks = np.asarray(mask)
         stats.update(elbo=float(np.asarray(res.elbo_trace)[-50:].mean()))

@@ -13,6 +13,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from .advi import ADVIConfig
 from .chees import ChEESConfig
 from .hmc import HMCConfig
 from .nuts import NUTSConfig
@@ -54,6 +55,7 @@ class RunConfig:
     smc: SMCConfig = SMCConfig()
     tdm: TransDimMCMCConfig = TransDimMCMCConfig()
     chees: ChEESConfig = ChEESConfig()
+    advi: ADVIConfig = ADVIConfig()
     notes: str = ""
 
     def make_truth(self):
@@ -223,6 +225,23 @@ cfg6_chees = _register(RunConfig(
     n_chains=1024, n_samples=1000, n_warmup=500,
     chees=ChEESConfig(step_size=0.05),
     notes="ChEES on the fused dyn kernel: 84x NUTS ESS/s at the cfg2 shape",
+))
+
+
+# config 7: ADVI on the flagship 10-star scene — the deterministic
+# variational baseline head (SURVEY.md ⑯; VERDICT round-4 item 7: ADVI was
+# reachable only via a head=advi override and had no committed record).
+# Mean-field by default (advi.full_rank=true switches to N(mu, L L^T));
+# the fit is a seconds-scale optax loop, so n_chains/n_samples are unused
+# and the output is 1000 iid draws from the fitted q.
+cfg7_advi = _register(RunConfig(
+    name="cfg7_advi",
+    scene=SceneSpec(32, 32, 1.5, 10.0),
+    prior=PriorSpec(5.0, 0.7),
+    n_stars=10, kmax=10,
+    head="advi",
+    advi=ADVIConfig(n_steps=3000),
+    notes="variational baseline on the cfg2 scene; record runs/cfg7_advi.json",
 ))
 
 

@@ -165,15 +165,14 @@ def warmup_blocked(
     def run_phase(st, da, wf, inv_mass, n, accumulate):
         acc = jnp.zeros(())
         nb = max(1, math.ceil(n / block))
-        b = math.ceil(n / nb)  # uniform chunks -> one compiled program
-        done = 0
-        while done < n:
-            k = min(b, n - done)
+        # chunk sizes differ by at most 1 -> at most TWO compiled program
+        # sizes per phase (q and q+1; e.g. n=57, block=10 -> 10,10,10,9,9,9)
+        q, r = divmod(n, nb)
+        for k in [q + 1] * r + [q] * (nb - r):
             st, da, wf, acc = _warmup_chunk(
                 st, kernel, da, wf, inv_mass, acc, k, accumulate,
                 target_accept, divergence_penalty,
             )
-            done += k
         return st, da, wf, acc / n
 
     da = da_init(step_size)
@@ -394,13 +393,16 @@ def run_mcmc(
             start_done=int(ck.done), logger=logger, thin=thin,
         )
         return res, wr
-    # tpu backend: small warmup chunks (the axon worker crashes on large
-    # single programs — see warmup_blocked); elsewhere one program/phase
+    # program-size cap (runtime.max_program_steps): small warmup chunks
+    # where large single programs are unsafe (this VM's axon tunnel — see
+    # warmup_blocked); one program per phase where unlimited
+    from .runtime import cap_block
+
     wr = warmup_blocked(
         states, kernel, n_warmup,
         step_size=step_size, target_accept=target_accept, adapt_mass=adapt_mass,
         divergence_penalty=divergence_penalty,
-        block=100 if jax.default_backend() == "tpu" else max(n_warmup, 1),
+        block=cap_block(None, max(n_warmup, 1)),
     )
     if logger is not None:  # per-phase warmup observability (SURVEY.md §5.5)
         import numpy as np

@@ -155,6 +155,11 @@ class SMCResult(NamedTuple):
     mean_accept: jax.Array
     beta: jax.Array  # final temperature; < 1 means max_steps capped the pass
     final_done: jax.Array | None = None  # posterior rounds run (plateau mode)
+    # first-class between-island convergence diagnostics, attached by
+    # run_smc when n_islands > 1 (VERDICT round-4 item 2; previously an ad
+    # hoc study script): {"island_rhat_flux", "island_ess_flux",
+    # "island_rhat_count"} — see _attach_island_diag
+    island_diag: dict | None = None
 
 
 def ess_from_logw(logw: jax.Array) -> jax.Array:
@@ -197,6 +202,42 @@ def systematic_resample(key: jax.Array, logw: jax.Array,
     pos = u0 + jnp.arange(n, dtype=w.dtype) / n
     idx = jnp.searchsorted(cum, pos)
     return jnp.clip(idx, 0, n - 1)
+
+
+def _attach_island_diag(res: SMCResult, cfg: SMCConfig) -> SMCResult:
+    """Between-island convergence stats on the final population (host-side).
+
+    Islands carry independent ancestries (systematic_resample), so they are
+    the SMC analog of independent chains: between-island R̂ on total flux /
+    star count measures true population convergence where the
+    single-population split-R̂ UNDERSTATES it (clones agree by
+    construction — measured round 4: islands R̂ 1.50 where pooled split-R̂
+    read 1.2; runs/cfg4_islands16.json).  island_ess_flux sums the
+    per-island particle-series ESS — the island-count-aware effective
+    sample count (each island contributes at most its own ancestral
+    diversity).
+    """
+    if cfg.n_islands <= 1:
+        return res
+    import numpy as np
+
+    from . import diagnostics
+
+    theta = np.asarray(res.theta)
+    mask = np.asarray(res.mask)
+    flux = (np.exp(theta[..., 2]) * mask).sum(-1)          # (P,)
+    count = mask.sum(-1)                                    # (P,)
+    g = cfg.n_islands
+    fx = flux.reshape(g, -1)
+    ct = count.reshape(g, -1)
+    ess = float(sum(diagnostics.ess(row[None, :]) for row in fx))
+    diag = {
+        "island_rhat_flux": diagnostics.rhat_groups(fx),
+        "island_ess_flux": ess,
+        "island_rhat_count": diagnostics.rhat_groups(ct),
+        "n_islands": g,
+    }
+    return res._replace(island_diag=diag)
 
 
 def _next_dbeta(beta, loglik, target_ess, n_bisect: int = 26):
@@ -505,16 +546,21 @@ def run_smc(
     # device program.  Through the axon tunnel the TPU worker crashes on
     # large single programs — observed at 800 fori_loop posterior rounds
     # (round 3) and, after the round-4 solver-residual additions grew the
-    # mutation body, on the cfg3 tempering while_loop itself — so on the
-    # tpu backend the pass ALWAYS runs the stepwise host loop (one jit per
-    # temperature step; the ~20 ms dispatch is negligible against 0.5-17 s
-    # steps).  CPU/fake-mesh runs keep the single-program path: it is the
-    # GSPMD multi-chip reference, exercised by the sharded-invariance
-    # tests and dryrun_multichip.
-    if (jax.default_backend() != "tpu"
+    # mutation body, on the cfg3 tempering while_loop itself — so wherever
+    # runtime.max_program_steps sets a cap (default: the tpu backend on
+    # this VM; override with STARCAT_MAX_PROGRAM_STEPS) the pass runs the
+    # stepwise host loop (one jit per temperature step; the ~20 ms dispatch
+    # is negligible against 0.5-17 s steps).  Uncapped runs (CPU/fake-mesh,
+    # native TPU deployments) keep the single-program path: it is the GSPMD
+    # multi-chip reference, exercised by the sharded-invariance tests and
+    # dryrun_multichip.
+    from .runtime import max_program_steps
+
+    if (max_program_steps() is None
             and checkpoint_path is None and logger is None
             and cfg.n_final_rounds <= 50 and cfg.plateau_window <= 0):
-        return smc_tempering(s0, spec, image, prior, cfg, mesh=step_mesh)
+        res = smc_tempering(s0, spec, image, prior, cfg, mesh=step_mesh)
+        return _attach_island_diag(res, cfg)
 
     import os
 
@@ -524,13 +570,25 @@ def run_smc(
 
         try:
             s = restore_state(checkpoint_path, s0)
-        except Exception:
+        except Exception as e_cur:
             # Pre-round-3 checkpoints lack the final_done leaf (ADVICE r3):
             # restore against the legacy structure and default final_done
             # to 0 — the conservative old behavior (rerun all final rounds).
+            # A checkpoint that ALSO fails the legacy layout is genuinely
+            # corrupt/incompatible: surface BOTH failures with the original
+            # error chained, instead of the confusing legacy-template
+            # message alone (VERDICT round-4 item 8 / ADVICE round-4).
             legacy = _SMCStateV0(*s0[:-1])
-            s = SMCState(*restore_state(checkpoint_path, legacy),
-                         final_done=jnp.zeros((), jnp.int32))
+            try:
+                s = SMCState(*restore_state(checkpoint_path, legacy),
+                             final_done=jnp.zeros((), jnp.int32))
+            except Exception as e_old:
+                raise RuntimeError(
+                    f"SMC checkpoint restore failed for {checkpoint_path!r} "
+                    f"under both the current SMCState layout ({e_cur!r}) and "
+                    f"the legacy pre-final_done layout ({e_old!r}); the "
+                    "checkpoint is corrupt or from an incompatible run"
+                ) from e_cur
     final_left = max(cfg.n_final_rounds - int(s.final_done), 0)
 
     def emit_and_save(s):
@@ -578,5 +636,11 @@ def run_smc(
             s = _smc_step_jit(s, spec, image, prior, fcfg, mesh=step_mesh)
             final_left -= 1
             emit_and_save(s)
-    return SMCResult(s.theta, s.mask, s.loglik, s.log_z, s.n_steps, s.eps,
-                     s.mean_accept, s.beta, s.final_done)
+    res = _attach_island_diag(
+        SMCResult(s.theta, s.mask, s.loglik, s.log_z, s.n_steps, s.eps,
+                  s.mean_accept, s.beta, s.final_done),
+        cfg,
+    )
+    if logger is not None and res.island_diag is not None:
+        logger.log("smc_island_diag", **res.island_diag)
+    return res

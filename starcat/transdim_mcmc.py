@@ -239,6 +239,11 @@ def make_transdim_kernel(
                 spec, image, prior, mask, rcfg, beta=beta,
                 interpret=interpret,
                 diag_metric=cfg.mutation == "rhmc_diag_pallas",
+                # real chain count, so the lane-vs-MXU builder choice for
+                # the diag kernel sees the true gcd tile instead of
+                # assuming a full 128 lane block (ADVICE round-4: this call
+                # site was missed when api.py/smc.py were fixed)
+                n_chains=int(mask.shape[0]),
             )
             sts, info = kern(
                 ChainState(theta, u, jnp.zeros_like(theta), k_wm), eps,

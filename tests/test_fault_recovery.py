@@ -262,7 +262,9 @@ def gf(theta):
 
 theta0 = 0.5 * jax.random.normal(jax.random.key(0), (8, 1, 3))
 mask = jnp.ones(1)
-cfg = ChEESConfig(step_size=0.3, traj_length=0.5)
+# max_warmup_extensions=0: the crash-mode worker replicates ONLY the base
+# warmup leg below, so the full/resume paths must not extend either
+cfg = ChEESConfig(step_size=0.3, traj_length=0.5, max_warmup_extensions=0)
 N, WARM, BLOCK = 40, 30, 10
 
 if mode == "crash":
@@ -271,8 +273,8 @@ if mode == "crash":
     states0 = init_chain_states(jax.random.key(1), theta0, gf)
     # replicate run_chees's warmup leg, then sample 2 blocks and SIGKILL
     from starcat.chees import _chees_warmup_jit
-    st, eps, inv_mass, traj, _, _, _ = _chees_warmup_jit(
-        states0, gf, mask, WARM, cfg)
+    wu = _chees_warmup_jit(states0, gf, mask, WARM, cfg)
+    st, eps, inv_mass, traj = wu.states, wu.step_size, wu.inv_mass, wu.traj
     chees_sample_blocked(st, gf, mask, 2 * BLOCK, eps, inv_mass, traj, cfg,
                          n_warmup=WARM, block_size=BLOCK,
                          checkpoint_path=ckpt)
@@ -431,3 +433,51 @@ def test_sharded_checkpoint_roundtrip_and_resume(tmp_path):
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(s_sh.mask), np.asarray(s_un.mask))
     assert np.isclose(float(s_sh.log_z), float(s_un.log_z), atol=1e-4)
+
+
+def test_corrupt_checkpoint_raises_chained_error(tmp_path):
+    """A checkpoint that matches NEITHER the current nor the legacy layout
+    must raise an error that names the path and both attempted layouts,
+    with the ORIGINAL failure chained — not the confusing legacy-template
+    failure alone (VERDICT round-4 item 8 / ADVICE round-4)."""
+    import jax
+    import jax.numpy as jnp
+
+    import starcat
+    from starcat.checkpoint import save_state
+    from starcat.chees import ChEESConfig, run_chees
+    from starcat.smc import SMCConfig, run_smc
+
+    # an incompatible pytree saved at both paths
+    junk = {"junk": jnp.zeros((3, 2)), "more": jnp.ones(())}
+
+    ck_chees = str(tmp_path / "chees_bad")
+    save_state(ck_chees, junk)
+
+    def gf(theta):
+        return 0.5 * jnp.sum(theta * theta), theta
+
+    theta0 = 0.1 * jax.random.normal(jax.random.key(0), (8, 1, 3))
+    with pytest.raises(RuntimeError) as ei:
+        run_chees(jax.random.key(1), gf, theta0, jnp.ones(1), 4, 4,
+                  ChEESConfig(step_size=0.2), checkpoint_path=ck_chees,
+                  resume=True)
+    msg = str(ei.value)
+    assert "chees_bad" in msg and "legacy" in msg
+    assert ei.value.__cause__ is not None  # original failure chained
+
+    ck_smc = str(tmp_path / "smc_bad")
+    save_state(ck_smc, junk)
+    spec = starcat.SceneSpec(12, 12, 1.5, 3.0)
+    prior = starcat.PriorSpec(3.0, 0.7)
+    truth = starcat.sample_prior(jax.random.key(0), 2, prior)
+    x, y, f = starcat.constrain(truth, spec)
+    img = starcat.make_mock_image(jax.random.key(1), x, y, f, spec)
+    cfg = SMCConfig(n_particles=32, mutation="hmc", n_leapfrog=3,
+                    n_mutation_steps=1, max_steps=2)
+    with pytest.raises(RuntimeError) as ei2:
+        run_smc(jax.random.key(2), spec, img, prior, 2, cfg,
+                checkpoint_path=ck_smc, resume=True)
+    msg2 = str(ei2.value)
+    assert "smc_bad" in msg2 and "legacy" in msg2
+    assert ei2.value.__cause__ is not None

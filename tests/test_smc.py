@@ -250,6 +250,53 @@ def test_island_resampling_stays_in_island_and_unbiased():
         np.asarray(systematic_resample(key, logw, n_islands=1)))
 
 
+def test_island_diag_first_class():
+    """n_islands > 1 attaches between-island convergence stats to the
+    result (VERDICT round-4 item 2a: previously an ad hoc study script);
+    n_islands = 1 leaves island_diag None."""
+    spec, prior, img, _ = _single_star_setup()
+    cfg = SMCConfig(n_particles=128, mutation="hmc", n_mutation_steps=1,
+                    n_leapfrog=3, n_islands=4)
+    res = run_smc(jax.random.key(3), spec, img, prior, 1, cfg)
+    d = res.island_diag
+    assert d is not None and d["n_islands"] == 4
+    assert np.isfinite(d["island_rhat_flux"]) and d["island_rhat_flux"] > 0.8
+    assert np.isfinite(d["island_rhat_count"])
+    assert 0 < d["island_ess_flux"] <= cfg.n_particles
+
+    res1 = run_smc(jax.random.key(3), spec, img, prior, 1,
+                   cfg._replace(n_islands=1))
+    assert res1.island_diag is None
+
+
+def test_smc_sharded_islands_matches_single_device():
+    """Islands compose with device sharding (VERDICT round-4 item 2c): the
+    per-island resampling gathers run under an 8-device particle mesh and
+    reproduce the single-device result.  Deliberately cheap and UNMARKED so
+    the fused single-program GSPMD path stays in the fast suite (ADVICE
+    round-4: the other sharded-invariance cases are slow-marked while
+    run_smc's TPU stepwise routing leans on them)."""
+    from starcat.dist import make_mesh
+
+    spec, prior, img, _ = _single_star_setup()
+    # island size 16 vs 8 particles/device: island boundaries deliberately
+    # straddle device shards
+    cfg = SMCConfig(n_particles=64, mutation="hmc", n_mutation_steps=1,
+                    n_leapfrog=3, n_islands=4)
+    res1 = run_smc(jax.random.key(5), spec, img, prior, 1, cfg)
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    mesh = make_mesh("chains")
+    res2 = run_smc(jax.random.key(5), spec, img, prior, 1, cfg, mesh=mesh)
+    assert len(res2.theta.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(res1.theta).mean(0), np.asarray(res2.theta).mean(0),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(float(res1.log_z), float(res2.log_z),
+                               rtol=1e-3)
+    assert res2.island_diag is not None
+
+
 def test_island_smc_recovers_truth():
     """Island SMC (n_islands > 1) still targets the same posterior: the
     single-star flux posterior matches the truth, and the plan partitions
