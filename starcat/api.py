@@ -257,7 +257,10 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
             # restores T from its checkpoint and has no drift to report
             stats.update(traj_drift=ad["traj_drift"],
                          traj_converged=ad["traj_converged"],
-                         warmup_extensions=ad["warmup_extensions"])
+                         warmup_extensions=ad["warmup_extensions"],
+                         t_probe_factor=ad.get("t_probe_factor", 1.0),
+                         eq_stages=ad.get("eq_stages", 0),
+                         eq_disagreement=ad.get("eq_disagreement"))
         masks = np.asarray(mask)
     elif cfg.head == "transdim":
         from .pallas_kernels import fused_supported

@@ -72,6 +72,61 @@ class ChEESConfig(NamedTuple):
     # signature was |drift| ~ 1.9 in log space; 0.25 = 28% movement).
     t_drift_tol: float = 0.25
     max_warmup_extensions: int = 2
+    # Post-warmup trajectory-length probe (round 5) — OFF by default: a
+    # measured negative result.  The round-5 chain sweep
+    # (runs/chees_chain_sweep_r5.json) showed the Adam ascent lands at
+    # SEED-DEPENDENT optima at <=1024 chains (same scene/count: T~37 at
+    # ESS/s 15.1k on one seed, T~9.4 at 1.9k on another, both with small
+    # drift).  The probe re-scores the landed T against t_probe_factors*T
+    # side by side (t_probe_iters jittered iterations per candidate from
+    # the SAME chain states — common random numbers) and keeps the
+    # criterion argmax.  Measured on the failing rows
+    # (runs/chees_probe_fix.json): the probe promotes T 9->38 as designed,
+    # but pooled ESS/s got WORSE (2.3k->1.5k at 256 chains; split-R-hat
+    # UNCHANGED at 4x the trajectory length).  Two findings follow: (a)
+    # the bad seeds' deficit is END-OF-WARMUP chain disagreement
+    # (metastable flux configurations), which sampling-time T cannot
+    # repair — it persists at 1000-draw windows too
+    # (runs/chees_longwindow_badseeds.json); (b) the ChEES
+    # criterion measured from NON-stationary states grows monotonically
+    # with T (dispersed chains always move further along longer
+    # trajectories), so argmax-probing carries an inflation bias that the
+    # at-stationarity ascent does not.  Set t_probe_iters > 0 only to
+    # reproduce the study.
+    t_probe_factors: tuple[float, ...] = (0.5, 1.0, 2.0, 4.0)
+    t_probe_iters: int = 0
+    # Post-warmup EQUILIBRATION gate (round 5) — the fix the probe study
+    # pointed to.  Mechanism (runs/chees_chain_sweep_r5.json +
+    # runs/chees_longwindow_badseeds.json + the stuck-chain diagnosis in
+    # docs/DESIGN.md): on seeds where the T ascent lands low, chains exit
+    # warmup with their MEANS still spread (+-2 within-chain sd across the
+    # bulk, pooled split-R-hat 1.05-1.08) and reconcile so slowly at the
+    # low T that the deficit persists even at 1000-draw windows — while
+    # WITHIN-chain mixing at that same low T is the best measured per
+    # second.  So: after warmup, run PAIRS of discarded ~n_warmup/6-draw
+    # blocks and compute the tau-free disagreement statistic
+    # (_eq_disagreement) over per-chain block means of the potential U and
+    # the total log-flux; while it exceeds eq_tol (units: between-chain
+    # offset variance over block-mean sampling variance), run another pair
+    # with the pair's trajectory length doubled (capped at 4x adapted —
+    # longer trajectories reconcile chain means fastest per draw), up to
+    # max_eq_stages pairs.  Sampling then proceeds at the ADAPTED T (the
+    # per-cost optimum).  Chains stay independent throughout — no
+    # cross-chain state copying, so R-hat keeps meaning what it says.
+    # max_eq_stages=0 disables.
+    #
+    # Measured role (runs/chees_eq_gate.json): DETECTION, not cure.  On
+    # the bad-seed rows the statistic separates cleanly (0.9-2.1 vs
+    # 0.30-0.47 on good seeds) but the extra blocks do NOT reconcile the
+    # chains — the disagreement is metastability of the fixed-K flux
+    # posterior itself (distinct star/flux configurations; the same
+    # signature as the bimodal-well test), which no within-model warmup
+    # can honestly repair.  A flagged run should be cross-checked with
+    # the trans-dimensional heads (cfg3 SMC / cfg5 transdim), which hop
+    # such configurations by design.  Default 2 stages = one escalation,
+    # bounded cost; the 4x escalation ladder is kept for study.
+    eq_tol: float = 0.5
+    max_eq_stages: int = 2
 
 
 class ChEESInfo(NamedTuple):
@@ -173,10 +228,17 @@ def _chees_iteration(
     g_t = jnp.sum(w * dsq * proj) / jnp.maximum(jnp.sum(w), 1e-6)
     g_logT = g_t * t  # chain rule through t = u_jit * T
     g_logT = jnp.where(jnp.isfinite(g_logT), g_logT, 0.0)
+    # the ChEES criterion VALUE (what the ascent maximizes): the pooled
+    # accept-weighted mean of the squared change in squared distance to the
+    # chain-cloud center.  Returned alongside the gradient so the
+    # post-warmup T probe (_chees_probe_jit) can score candidate trajectory
+    # lengths directly instead of trusting where the noisy ascent landed.
+    crit = jnp.sum(w * dsq * dsq) / jnp.maximum(jnp.sum(w), 1e-6)
+    crit = jnp.where(jnp.isfinite(crit), crit, 0.0)
 
     new_states = ChainState(theta, u, grad, key)
     info = ChEESInfo(accept_prob, diverged, n_steps, traj_length)
-    return new_states, info, g_logT
+    return new_states, info, g_logT, crit
 
 
 class _AdamState(NamedTuple):
@@ -276,7 +338,7 @@ def _chees_warmup_jit(
         def body(carry, i):
             st, da, wf, inv_mass, log_T, adam, acc, lt, ndiv = carry
             eps = jnp.exp(da.log_eps)
-            st, info, g_logT = _chees_iteration(
+            st, info, g_logT, _ = _chees_iteration(
                 st, grad_fn, eps, inv_mass, mask, _halton2(i), jnp.exp(log_T),
                 config.max_leapfrog, config.divergence_threshold,
                 leapfrog_impl,
@@ -371,7 +433,7 @@ def _chees_extend_jit(
     def half(st, log_T, adam, ndiv, n, offset):
         def body(carry, i):
             st, log_T, adam, lt, ndiv = carry
-            st, info, g_logT = _chees_iteration(
+            st, info, g_logT, _ = _chees_iteration(
                 st, grad_fn, eps, inv_mass, mask, _halton2(i), jnp.exp(log_T),
                 config.max_leapfrog, config.divergence_threshold,
                 leapfrog_impl,
@@ -393,6 +455,121 @@ def _chees_extend_jit(
     st, log_T, adam, lt_a, ndiv = half(states, log_T, adam, ndiv, na, 0)
     st, log_T, adam, lt_b, ndiv = half(st, log_T, adam, ndiv, nb, na)
     return st, log_T, adam, jnp.abs(lt_b - lt_a), ndiv
+
+
+@partial(jax.jit, static_argnames=("grad_fn", "config", "leapfrog_impl"))
+def _chees_probe_jit(
+    states: ChainState,
+    grad_fn: Callable,
+    mask: jax.Array,
+    config: ChEESConfig,
+    eps: jax.Array,
+    inv_mass: jax.Array,
+    log_T: jax.Array,
+    leapfrog_impl=None,
+):
+    """Grid re-score of the adapted trajectory length: measure the ChEES
+    criterion at T * t_probe_factors with t_probe_iters jittered
+    iterations per candidate, every candidate starting from the SAME chain
+    states and Halton indices (common random numbers — a paired
+    comparison).  Probe chains are discarded; only the winning log T
+    leaves this function.
+
+    Off by default: the study behind it (runs/chees_probe_fix.json, see
+    ChEESConfig.t_probe_factors) found the criterion measured from
+    non-stationary states is monotone in T, so the argmax inflates T
+    without improving pooled ESS — the machinery is kept for
+    reproducibility and for probing AT stationarity.
+
+    Returns (new_log_T, per-candidate criterion means, winning factor)."""
+    factors = jnp.asarray(config.t_probe_factors, jnp.float32)
+
+    def score(f):
+        T = jnp.clip(jnp.exp(log_T) * f,
+                     jnp.exp(jnp.float32(_LOG_T_MIN)),
+                     jnp.exp(jnp.float32(_LOG_T_MAX)))
+
+        def body(carry, i):
+            st, acc = carry
+            st, _, _, crit = _chees_iteration(
+                st, grad_fn, eps, inv_mass, mask, _halton2(i), T,
+                config.max_leapfrog, config.divergence_threshold,
+                leapfrog_impl,
+            )
+            return (st, acc + crit), None
+
+        (_, acc), _ = jax.lax.scan(
+            body, (states, jnp.zeros(())),
+            jnp.arange(config.t_probe_iters),
+        )
+        return acc / config.t_probe_iters
+
+    crits = jax.lax.map(score, factors)  # one traced body, sequential
+    best = jnp.argmax(crits)
+    new_log_T = jnp.clip(log_T + jnp.log(factors[best]),
+                         _LOG_T_MIN, _LOG_T_MAX)
+    return new_log_T, crits, factors[best]
+
+
+def _eq_disagreement(m1: jax.Array, m2: jax.Array) -> jax.Array:
+    """Autocorrelation-free chain-disagreement statistic from two
+    consecutive equal-length block means m1, m2 (each (C,)).
+
+    Under equilibration every chain's long-run mean is the same and block
+    means are mean + noise of variance sigma_m^2 (which already CONTAINS
+    the autocorrelation time — no tau estimate needed):
+      num = Var_chains((m1+m2)/2)      ->  sigma_m^2 / 2
+      den = mean_chains((m2-m1)^2) / 2 ->  sigma_m^2   (chain offsets
+                                           cancel in the difference)
+    so num/den - 1/2 -> 0; with persistent per-chain offsets delta_c it
+    estimates Var(delta)/sigma_m^2 — disagreement in units of block-mean
+    noise.  (A plain split-R-hat over a short block has a stationary floor
+    of sqrt(1 + c*tau/h) — measured ~1.12 at h=25 on this scene — and can
+    never reach a 1.02 tolerance; this ratio replaces it.)"""
+    num = jnp.var(0.5 * (m1 + m2), ddof=1)
+    den = 0.5 * jnp.mean((m2 - m1) ** 2)
+    return jnp.maximum(num / jnp.maximum(den, 1e-12) - 0.5, 0.0)
+
+
+@partial(jax.jit, static_argnames=("grad_fn", "n_steps", "config",
+                                   "leapfrog_impl"))
+def _chees_equilibrate_jit(
+    states: ChainState,
+    grad_fn: Callable,
+    mask: jax.Array,
+    n_steps: int,
+    config: ChEESConfig,
+    eps: jax.Array,
+    inv_mass: jax.Array,
+    traj: jax.Array,
+    leapfrog_impl=None,
+):
+    """One discarded equilibration block at fixed (eps, inv_mass, traj):
+    advances the chains n_steps jittered iterations and returns per-chain
+    block means of two scalar summaries — the potential U and the total
+    log-flux sum(theta[..., 2] * mask), the statistics the round-5 study
+    measured chain-mean disagreement on.  run_chees pairs consecutive
+    blocks through _eq_disagreement.  Halton indices restart from 0
+    (discarded block; same argument as _chees_extend_jit — sampling-leg
+    offsets and checkpoint-resume identity stay untouched).
+
+    Returns (states, mean-U (C,), mean-flux (C,), n_divergent)."""
+    fmask = mask[None, :]
+
+    def body(carry, i):
+        st, ndiv = carry
+        st, info, _, _ = _chees_iteration(
+            st, grad_fn, eps, inv_mass, mask, _halton2(i), traj,
+            config.max_leapfrog, config.divergence_threshold,
+            leapfrog_impl,
+        )
+        s_flux = jnp.sum(st.theta[:, :, 2] * fmask, axis=1)  # (C,)
+        return (st, ndiv + jnp.sum(info.diverged)), (st.u, s_flux)
+
+    (st, ndiv), (us, fs) = jax.lax.scan(
+        body, (states, jnp.zeros((), jnp.int32)), jnp.arange(n_steps)
+    )
+    return st, jnp.mean(us, axis=0), jnp.mean(fs, axis=0), ndiv
 
 
 @partial(jax.jit, static_argnames=("grad_fn", "n_samples", "config",
@@ -418,7 +595,7 @@ def chees_sample(
     bitwise-identical to one long scan."""
 
     def body(st, i):
-        st, info, _ = _chees_iteration(
+        st, info, _, _ = _chees_iteration(
             st, grad_fn, eps, inv_mass, mask, _halton2(i), traj,
             config.max_leapfrog, config.divergence_threshold, leapfrog_impl,
         )
@@ -625,8 +802,57 @@ def run_chees(
             logger.log("warmup_t_extension", extension=n_ext,
                        traj_length=float(jnp.exp(log_T)),
                        traj_drift=float(drift))
+    # T-probe (round 5): the drift gate cannot tell a converged-GOOD
+    # landing from a converged-BAD one (seed-dependent optima, see
+    # ChEESConfig.t_probe_factors).  Re-score the landed T against scaled
+    # candidates side by side and keep the criterion argmax.
+    probe_factor = 1.0
+    probe_crits = None
+    if config.t_probe_iters > 0 and len(config.t_probe_factors) > 1:
+        log_T, crits, pf = _chees_probe_jit(
+            st, grad_fn, mask, config, eps, inv_mass, log_T, leapfrog_impl)
+        probe_factor = float(pf)
+        probe_crits = [float(c) for c in crits]
+        if logger is not None:
+            logger.log("warmup_t_probe", factors=list(config.t_probe_factors),
+                       criteria=probe_crits, chosen_factor=probe_factor,
+                       traj_length=float(jnp.exp(log_T)))
     traj = jnp.exp(log_T)
     converged = bool(float(drift) <= config.t_drift_tol)
+
+    # Equilibration gate (round 5, see ChEESConfig.eq_tol): paired
+    # discarded blocks until the chains' scalar summaries agree across
+    # chains; each further pair runs at doubled trajectory length
+    # (reconciliation accelerant), sampling itself stays at the adapted T.
+    eq_stages = 0
+    eq_disagreement = None
+    if config.max_eq_stages > 0 and config.eq_tol > 0:
+        eq_steps = max(n_warmup // 6, 16)
+        eq_factor = 1.0
+        while eq_stages < config.max_eq_stages:
+            st, u1, f1, nd1 = _chees_equilibrate_jit(
+                st, grad_fn, mask, eq_steps, config, eps, inv_mass,
+                traj * eq_factor, leapfrog_impl)
+            st, u2, f2, nd2 = _chees_equilibrate_jit(
+                st, grad_fn, mask, eq_steps, config, eps, inv_mass,
+                traj * eq_factor, leapfrog_impl)
+            ndiv = ndiv + nd1 + nd2
+            eq_stages += 1
+            eq_disagreement = float(jnp.maximum(_eq_disagreement(u1, u2),
+                                                _eq_disagreement(f1, f2)))
+            if logger is not None:
+                logger.log("warmup_eq_stage", stage=eq_stages,
+                           disagreement=eq_disagreement,
+                           traj_factor=eq_factor)
+            if eq_disagreement <= config.eq_tol:
+                break
+            eq_factor = min(eq_factor * 2.0, 4.0)
+        if logger is not None and eq_disagreement > config.eq_tol:
+            logger.log("warning", kind="equilibration_unconverged",
+                       eq_disagreement=eq_disagreement, tol=config.eq_tol,
+                       msg="chains still disagree on pooled summaries "
+                           "after the equilibration budget; raise "
+                           "max_eq_stages or n_warmup")
 
     if logger is not None:  # per-phase warmup observability (SURVEY.md §5.5)
         import numpy as np
@@ -666,4 +892,6 @@ def run_chees(
     return res, {"step_size": eps, "inv_mass": inv_mass,
                  "traj_length": traj, "warmup_divergences": int(ndiv),
                  "traj_drift": float(drift), "traj_converged": converged,
-                 "warmup_extensions": n_ext}
+                 "warmup_extensions": n_ext,
+                 "t_probe_factor": probe_factor,
+                 "eq_stages": eq_stages, "eq_disagreement": eq_disagreement}

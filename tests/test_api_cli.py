@@ -16,7 +16,7 @@ def test_config_presets_complete():
     assert set(CONFIGS) == {
         "cfg0_single_star", "cfg1_rhmc", "cfg2_nuts",
         "cfg3_transdim_smc", "cfg4_crowded", "cfg5_transdim_mcmc",
-        "cfg6_chees",
+        "cfg6_chees", "cfg7_advi",
     }
     for cfg in CONFIGS.values():
         theta, img = cfg.make_data()

@@ -88,11 +88,12 @@ def test_chees_pooled_estimator_survives_nan_chain():
     u, grad = jax.vmap(gf)(theta)
     assert not np.isfinite(float(u[0]))
     states = ChainState(theta, u, grad, jax.random.split(jax.random.key(1), n_chains))
-    new_states, info, g_logT = _chees_iteration(
+    new_states, info, g_logT, crit = _chees_iteration(
         states, gf, jnp.asarray(0.2), jnp.ones((k, 3)), jnp.ones(k),
         _halton2(jnp.asarray(3)), jnp.asarray(1.0), 64, 1000.0,
     )
     assert np.isfinite(float(g_logT)), "pooled ChEES gradient NaN-poisoned"
+    assert np.isfinite(float(crit)), "pooled ChEES criterion NaN-poisoned"
     # the bad chain must be auto-rejected, never accepted into the state
     assert float(info.accept_prob[0]) == 0.0
     assert bool(info.diverged[0])
@@ -297,3 +298,125 @@ def test_warmup_extension_reduces_drift():
     if ad_ext["warmup_extensions"] < 3:
         # the loop stops early only when it converged
         assert ad_ext["traj_converged"]
+
+
+def test_t_probe_promotes_collapsed_trajectory():
+    """Round-5 T-probe machinery (OFF by default — a measured negative
+    result on non-stationary states, see ChEESConfig.t_probe_factors and
+    runs/chees_probe_fix.json).  AT stationarity the paired criterion
+    comparison is sound: from warm states _chees_probe_jit must promote a
+    deliberately collapsed T toward the criterion optimum and must not
+    inflate an already-near-optimal T by more than one factor step."""
+    from starcat.chees import _chees_probe_jit
+    from starcat.driver import init_chain_states
+
+    sigma = jnp.array([[0.3, 1.0, 3.0]])
+
+    def gf(theta):
+        z = theta / sigma
+        return 0.5 * jnp.sum(z * z), z / sigma
+
+    # warm states: draws from the target itself, so the probe scores pure
+    # mixing speed (not burn-in)
+    theta0 = sigma * jax.random.normal(jax.random.key(0), (64, 1, 3))
+    states = init_chain_states(jax.random.key(1), theta0, gf)
+    cfg = ChEESConfig(step_size=0.25, t_probe_iters=16)
+    eps = jnp.asarray(0.25)
+    inv_mass = jnp.ones((1, 3))
+
+    # collapsed landing: T = 0.5 (~2 leapfrog steps); optimum is O(sigma_max)
+    new_log_T, crits, f = _chees_probe_jit(
+        states, gf, jnp.ones(1), cfg, eps, inv_mass, jnp.log(0.5))
+    assert float(f) >= 2.0, (float(f), [float(c) for c in crits])
+    assert float(jnp.exp(new_log_T)) >= 1.0
+
+    # healthy landing: T = 4 (~sigma_max); the probe must keep it within
+    # one factor step (no runaway inflation run-to-run)
+    new_log_T2, crits2, f2 = _chees_probe_jit(
+        states, gf, jnp.ones(1), cfg, eps, inv_mass, jnp.log(4.0))
+    assert 0.5 <= float(f2) <= 2.0, (float(f2), [float(c) for c in crits2])
+
+
+def test_equilibration_gate_reconciles_disagreeing_chains():
+    """Round-5 equilibration gate (ChEESConfig.eq_rhat_tol): chains that
+    exit warmup with disagreeing means — the measured bad-seed failure
+    (runs/chees_longwindow_badseeds.json) — must trigger extra discarded
+    blocks, and the gated run's pooled split-R-hat must beat the ungated
+    one.  Chains stay independent (no cross-chain copying), so the gate
+    can only help by actually equilibrating."""
+    def gf(theta):
+        return 0.5 * jnp.sum(theta * theta), theta
+
+    n_chains = 32
+    # two clusters far apart: warmup alone (short) cannot reconcile them
+    theta0 = 0.1 * jax.random.normal(jax.random.key(0), (n_chains, 1, 3))
+    theta0 = theta0 + jnp.where(
+        (jnp.arange(n_chains) % 2 == 0)[:, None, None], 6.0, -6.0)
+    mask = jnp.ones(1)
+    base = ChEESConfig(step_size=0.3, traj_length=0.3)
+
+    res_off, ad_off = run_chees(
+        jax.random.key(1), gf, theta0, mask, 100, 36,
+        base._replace(max_eq_stages=0))
+    res_on, ad_on = run_chees(
+        jax.random.key(1), gf, theta0, mask, 100, 36,
+        base._replace(max_eq_stages=4, eq_tol=0.5))
+
+    x_on = np.asarray(res_on.thetas)[:, :, 0, 0]
+    r_on = float(diagnostics.split_rhat(x_on))
+    assert ad_off["eq_stages"] == 0 and ad_off["eq_disagreement"] is None
+    assert ad_on["eq_stages"] >= 1  # the gate ran and measured
+    assert ad_on["eq_disagreement"] is not None
+    assert float(ad_on["eq_disagreement"]) <= 0.5  # reconciled
+    assert r_on < 1.1, r_on
+
+
+def test_equilibration_gate_detects_unreconcilable_chains():
+    """On a genuinely bimodal target with chains split across modes the
+    gate cannot cure the disagreement — it must spend its stage budget,
+    report a disagreement ABOVE tolerance (the unconverged-warning path),
+    and leave the chains' draws finite.  This is the honest-detection half
+    of the gate contract: no cross-chain copying is allowed to fake
+    convergence."""
+    def gf(theta):
+        # two narrow wells at +-6 (sd ~0.3): no crossing at any feasible T
+        a = jnp.sum((theta - 6.0) ** 2)
+        b = jnp.sum((theta + 6.0) ** 2)
+        w = 0.5 / 0.09
+        u = -jax.nn.logsumexp(jnp.stack([-w * a, -w * b]))
+        g = jax.grad(lambda t: -jax.nn.logsumexp(
+            jnp.stack([-w * jnp.sum((t - 6.0) ** 2),
+                       -w * jnp.sum((t + 6.0) ** 2)])))(theta)
+        return u, g
+
+    n_chains = 16
+    theta0 = 0.1 * jax.random.normal(jax.random.key(0), (n_chains, 1, 3))
+    theta0 = theta0 + jnp.where(
+        (jnp.arange(n_chains) % 2 == 0)[:, None, None], 6.0, -6.0)
+    res, ad = run_chees(
+        jax.random.key(1), gf, theta0, jnp.ones(1), 50, 36,
+        ChEESConfig(step_size=0.05, traj_length=0.3,
+                    max_eq_stages=3, eq_tol=0.5))
+    assert ad["eq_stages"] == 3, ad  # budget spent
+    assert float(ad["eq_disagreement"]) > 0.5, ad  # honestly unconverged
+    assert np.isfinite(np.asarray(res.thetas)).all()
+
+
+def test_eq_disagreement_statistic():
+    """The tau-free disagreement ratio: ~0 for equal-mean chains (block
+    means differing only by noise), large when chains carry persistent
+    offsets; invariant to the autocorrelation-driven noise SCALE (the
+    failure mode that sank the split-R-hat version of this gate)."""
+    from starcat.chees import _eq_disagreement
+
+    k = jax.random.key(0)
+    c = 512
+    for scale in (0.1, 3.0):  # noise scale must not matter
+        m1 = scale * jax.random.normal(jax.random.key(1), (c,))
+        m2 = scale * jax.random.normal(jax.random.key(2), (c,))
+        d_eq = float(_eq_disagreement(m1, m2))
+        assert d_eq < 0.2, (scale, d_eq)
+        # persistent offsets 3x the block-mean noise -> ratio ~9
+        delta = 3.0 * scale * jax.random.normal(jax.random.key(3), (c,))
+        d_off = float(_eq_disagreement(m1 + delta, m2 + delta))
+        assert d_off > 2.0, (scale, d_off)
