@@ -228,7 +228,8 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
             stats["solver_rejections"] = int(np.asarray(res.solver_fail).sum())
         masks = np.asarray(mask)
     elif cfg.head == "chees":
-        from .chees import ChEESConfig, make_fused_leapfrog_impl, run_chees
+        from .chees import (ChEESConfig, make_chees_relocate,
+                            make_fused_leapfrog_impl, run_chees)
         from .pallas_kernels import fused_supported
 
         impl = None
@@ -240,10 +241,14 @@ def sample(cfg: RunConfig, seed: int = 0, image=None, mesh=None,
             stats["kernel"] = "pallas_fused_dyn"
         else:
             stats["kernel"] = "xla"
+        # configuration-hop relocation (round 5): the scene is known here,
+        # so the metastability cure is on by default (chees.relocate_every)
+        reloc = (make_chees_relocate(spec, img, prior)
+                 if cfg.chees.relocate_every > 0 else None)
         res, ad = run_chees(
             jax.random.fold_in(key, 1), grad_fn, theta0, mask,
             cfg.n_samples, cfg.n_warmup, cfg.chees, leapfrog_impl=impl,
-            block_size=block, **ck,
+            block_size=block, relocate_fn=reloc, **ck,
         )
         thetas = np.asarray(res.thetas)
         stats.update(step_size=float(ad["step_size"]),

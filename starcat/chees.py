@@ -127,6 +127,24 @@ class ChEESConfig(NamedTuple):
     # bounded cost; the 4x escalation ladder is kept for study.
     eq_tol: float = 0.5
     max_eq_stages: int = 2
+    # Relocation cadence (round 5 — the CURE the equilibration study calls
+    # for).  Every relocate_every-th iteration (sampling leg and
+    # equilibration blocks) each chain attempts one dimension-preserving
+    # relocate move (transdim.relocate_step: death + residual-driven birth
+    # fused into one exact MH step) when a relocate_fn is supplied to
+    # run_chees (the api layer builds it from the scene; generic targets
+    # have no scene and skip it).  This is what actually hops the
+    # metastable star/flux configurations that split chain populations on
+    # bad seeds — trajectory length cannot (runs/chees_probe_fix.json),
+    # extra equilibration at 4x T cannot (runs/chees_eq_gate.json), but a
+    # configuration jump can; validation: runs/chees_relocate.json.
+    # 0 disables.  Cadence 1 (every draw): one relocate attempt costs one
+    # likelihood eval + the matched-filter maps (~4 renders' worth of
+    # contractions) against a ~300-step trajectory per draw — <2%
+    # overhead — and the measured per-attempt acceptance on a split
+    # 10-star population is ~4% (runs/chees_relocate.json), so hops need
+    # every draw to accumulate.
+    relocate_every: int = 1
 
 
 class ChEESInfo(NamedTuple):
@@ -254,6 +272,38 @@ def _adam_update(st: _AdamState, g, lr, b1=0.9, b2=0.999, eps=1e-8):
     mh = m / (1 - b1**t)
     vh = v / (1 - b2**t)
     return _AdamState(m, v, t), lr * mh / (jnp.sqrt(vh) + eps)
+
+
+def make_chees_relocate(spec, image, prior, resid_floor: float = 1e-2,
+                        flux_sigma: float | None = 0.1,
+                        pos_sigma: float = 0.12):
+    """Batch relocate sweep for the stellar heads (ChEESConfig
+    .relocate_every rationale): one transdim.relocate_step attempt per
+    chain, in the data-driven mode by default — matched-filter flux
+    (flux_sigma) AND centroid-refined sub-pixel position (pos_sigma).
+    Measured acceptance ladder on a well-fit 10-star scene: 0.36% with
+    prior-flux + uniform sub-pixel, 0.74% adding matched-filter flux, the
+    sub-pixel refinement is what unlocks the rest (a uniform in-pixel
+    placement costs ~f·dx²/(2σ_psf²) ≈ 6 nats at flux 300).
+    Returns relocate_fn(keys (C,), theta (C, K, 3), mask (K,)) ->
+    (theta_new, accepted (C,)) for run_chees; head-agnostic (any fixed-K
+    sampler over the stellar potential can compose it)."""
+    from .potential import log_likelihood
+    from .transdim import relocate_step
+
+    def ll_fn(t, m):
+        return log_likelihood(t, m, spec, image)
+
+    def sweep(keys, theta, mask):
+        lls = jax.vmap(ll_fn, in_axes=(0, None))(theta, mask)
+        theta_new, _, _, info = jax.vmap(
+            lambda k, t, l: relocate_step(k, t, mask, l, ll_fn, prior,
+                                          spec, image, resid_floor,
+                                          flux_sigma, pos_sigma)
+        )(keys, theta, lls)
+        return theta_new, info.accepted
+
+    return sweep
 
 
 def make_fused_leapfrog_impl(spec, image, prior, kmax: int,
@@ -531,8 +581,28 @@ def _eq_disagreement(m1: jax.Array, m2: jax.Array) -> jax.Array:
     return jnp.maximum(num / jnp.maximum(den, 1e-12) - 0.5, 0.0)
 
 
+def _maybe_relocate(st: ChainState, i: jax.Array, grad_fn, mask,
+                    config: ChEESConfig, relocate_fn):
+    """Apply one batch relocate sweep when i hits the cadence (ChEESConfig
+    .relocate_every).  Per-chain keys advance through the same split
+    discipline as the HMC iteration; (u, grad) are recomputed so the next
+    trajectory starts from the moved configuration.  Identity when no
+    relocate_fn is supplied (generic targets) or the cadence is 0."""
+    if relocate_fn is None or config.relocate_every <= 0:
+        return st
+
+    def do(st):
+        ks = jax.vmap(lambda k: jax.random.split(k))(st.key)
+        knext, kr = ks[:, 0], ks[:, 1]
+        theta_new, _ = relocate_fn(kr, st.theta, mask)
+        u, g = jax.vmap(grad_fn)(theta_new)
+        return ChainState(theta_new, u, g, knext)
+
+    return jax.lax.cond(i % config.relocate_every == 0, do, lambda s: s, st)
+
+
 @partial(jax.jit, static_argnames=("grad_fn", "n_steps", "config",
-                                   "leapfrog_impl"))
+                                   "leapfrog_impl", "relocate_fn"))
 def _chees_equilibrate_jit(
     states: ChainState,
     grad_fn: Callable,
@@ -543,6 +613,7 @@ def _chees_equilibrate_jit(
     inv_mass: jax.Array,
     traj: jax.Array,
     leapfrog_impl=None,
+    relocate_fn=None,
 ):
     """One discarded equilibration block at fixed (eps, inv_mass, traj):
     advances the chains n_steps jittered iterations and returns per-chain
@@ -563,6 +634,7 @@ def _chees_equilibrate_jit(
             config.max_leapfrog, config.divergence_threshold,
             leapfrog_impl,
         )
+        st = _maybe_relocate(st, i, grad_fn, mask, config, relocate_fn)
         s_flux = jnp.sum(st.theta[:, :, 2] * fmask, axis=1)  # (C,)
         return (st, ndiv + jnp.sum(info.diverged)), (st.u, s_flux)
 
@@ -573,7 +645,7 @@ def _chees_equilibrate_jit(
 
 
 @partial(jax.jit, static_argnames=("grad_fn", "n_samples", "config",
-                                   "leapfrog_impl"))
+                                   "leapfrog_impl", "relocate_fn"))
 def chees_sample(
     states: ChainState,
     grad_fn: Callable,
@@ -585,6 +657,7 @@ def chees_sample(
     config: ChEESConfig = ChEESConfig(),
     leapfrog_impl=None,
     start: jax.Array | int = 0,
+    relocate_fn=None,
 ) -> SampleResult:
     """Sampling-only leg at fixed adapted (eps, inv_mass, T) — continuation
     from run_chees's final state (also the bench's timed leg).
@@ -592,13 +665,20 @@ def chees_sample(
     start: Halton-sequence offset for the trajectory jitter (the i-th
     post-init iteration overall uses u = halton2(i)); blocked sampling and
     checkpoint-resume pass n_warmup + draws_done so continuation is
-    bitwise-identical to one long scan."""
+    bitwise-identical to one long scan (the relocate cadence keys off the
+    same global index, so it composes with both).
+
+    relocate_fn: optional batch configuration-hop sweep
+    (make_chees_relocate) applied every config.relocate_every iterations —
+    an exact MH kernel over the same target, so the composition stays
+    valid; recorded draws reflect the hops."""
 
     def body(st, i):
         st, info, _, _ = _chees_iteration(
             st, grad_fn, eps, inv_mass, mask, _halton2(i), traj,
             config.max_leapfrog, config.divergence_threshold, leapfrog_impl,
         )
+        st = _maybe_relocate(st, i, grad_fn, mask, config, relocate_fn)
         return st, (st.theta, info.accept_prob, info.diverged)
 
     st, (thetas, aprob, div) = jax.lax.scan(
@@ -661,6 +741,7 @@ def chees_sample_blocked(
     start_done: int = 0,
     logger=None,
     warmup_ndiv: int = 0,
+    relocate_fn=None,
 ) -> SampleResult:
     """ChEES sampling in fixed-size jit blocks with optional orbax
     checkpoints — the exact pattern of driver.sample_blocked (bitwise
@@ -678,7 +759,8 @@ def chees_sample_blocked(
     while done < n_samples:
         n = min(block_size, n_samples - done)
         res = chees_sample(states, grad_fn, mask, n, eps, inv_mass, traj,
-                           config, leapfrog_impl, start=n_warmup + done)
+                           config, leapfrog_impl, start=n_warmup + done,
+                           relocate_fn=relocate_fn)
         states = res.final_states
         blocks.append(np.asarray(res.thetas))
         aprobs.append(np.asarray(res.accept_prob))
@@ -725,11 +807,18 @@ def run_chees(
     checkpoint_path: str | None = None,
     resume: bool = False,
     logger=None,
+    relocate_fn=None,
 ):
     """init -> warmup (eps/mass/T adaptation) -> jittered sampling.
 
     leapfrog_impl: pass make_fused_leapfrog_impl(...) to run trajectories
     on the runtime-trip-count fused Pallas kernel (TPU fast path).
+
+    relocate_fn: optional batch configuration-hop sweep
+    (make_chees_relocate) composed into the equilibration blocks and the
+    sampling leg every config.relocate_every iterations — the round-5 cure
+    for metastable-configuration chain splits (see ChEESConfig
+    .relocate_every).
 
     block_size / checkpoint_path / resume / logger give ChEES the same
     durability surface as the other MCMC heads (driver.run_mcmc): blocked
@@ -771,7 +860,7 @@ def run_chees(
             ck.traj, config, leapfrog_impl, n_warmup=n_warmup,
             block_size=block_size or 250, checkpoint_path=checkpoint_path,
             start_done=int(ck.done), logger=logger,
-            warmup_ndiv=int(ck.warmup_ndiv),
+            warmup_ndiv=int(ck.warmup_ndiv), relocate_fn=relocate_fn,
         )
         return res, {"step_size": ck.step_size, "inv_mass": ck.inv_mass,
                      "traj_length": ck.traj,
@@ -832,10 +921,10 @@ def run_chees(
         while eq_stages < config.max_eq_stages:
             st, u1, f1, nd1 = _chees_equilibrate_jit(
                 st, grad_fn, mask, eq_steps, config, eps, inv_mass,
-                traj * eq_factor, leapfrog_impl)
+                traj * eq_factor, leapfrog_impl, relocate_fn)
             st, u2, f2, nd2 = _chees_equilibrate_jit(
                 st, grad_fn, mask, eq_steps, config, eps, inv_mass,
-                traj * eq_factor, leapfrog_impl)
+                traj * eq_factor, leapfrog_impl, relocate_fn)
             ndiv = ndiv + nd1 + nd2
             eq_stages += 1
             eq_disagreement = float(jnp.maximum(_eq_disagreement(u1, u2),
@@ -884,11 +973,12 @@ def run_chees(
             st, grad_fn, mask, n_samples, eps, inv_mass, traj, config,
             leapfrog_impl, n_warmup=n_warmup, block_size=block_size,
             checkpoint_path=checkpoint_path, logger=logger,
-            warmup_ndiv=int(ndiv),
+            warmup_ndiv=int(ndiv), relocate_fn=relocate_fn,
         )
     else:
         res = chees_sample(st, grad_fn, mask, n_samples, eps, inv_mass, traj,
-                           config, leapfrog_impl, start=n_warmup)
+                           config, leapfrog_impl, start=n_warmup,
+                           relocate_fn=relocate_fn)
     return res, {"step_size": eps, "inv_mass": inv_mass,
                  "traj_length": traj, "warmup_divergences": int(ndiv),
                  "traj_drift": float(drift), "traj_converged": converged,

@@ -420,3 +420,42 @@ def test_eq_disagreement_statistic():
         delta = 3.0 * scale * jax.random.normal(jax.random.key(3), (c,))
         d_off = float(_eq_disagreement(m1 + delta, m2 + delta))
         assert d_off > 2.0, (scale, d_off)
+
+
+def test_chees_relocation_composes_and_stays_exact(tmp_path):
+    """ChEES with the relocate sweep (round-5 metastability cure): blocked
+    sampling remains bitwise-identical to unblocked with the same
+    relocate_fn (the cadence keys off the global draw index), and the
+    posterior moments on a 2-star scene match a relocation-free run within
+    MC error — relocation is an exact MH kernel over the same target."""
+    from starcat.chees import make_chees_relocate
+
+    spec = SceneSpec(16, 16, 1.5, 5.0)
+    prior = PriorSpec(5.0, 1.0)
+    x, y, f = jnp.array([5.0, 11.0]), jnp.array([6.0, 10.0]), jnp.array([250.0, 180.0])
+    img = make_mock_image(jax.random.key(7), x, y, f, spec)
+    pg = starcat.make_potential_and_grad(spec, img, prior)
+    mask = jnp.ones(2)
+    gf = lambda th: pg(th, mask)
+    theta0 = unconstrain(x, y, f, spec)[None] + 0.01 * jax.random.normal(
+        jax.random.key(3), (16, 2, 3))
+    cfg = ChEESConfig(step_size=0.1, traj_length=0.5, relocate_every=8)
+    reloc = make_chees_relocate(spec, img, prior)
+
+    res_a, ad_a = run_chees(jax.random.key(4), gf, theta0, mask, 60, 60,
+                            cfg, relocate_fn=reloc)
+    res_b, _ = run_chees(jax.random.key(4), gf, theta0, mask, 60, 60,
+                         cfg, relocate_fn=reloc, block_size=25,
+                         checkpoint_path=str(tmp_path / "ck"))
+    np.testing.assert_array_equal(np.asarray(res_a.thetas),
+                                  np.asarray(res_b.thetas))
+
+    # moment agreement vs relocation-free (same target, exact kernel)
+    res_c, _ = run_chees(jax.random.key(4), gf, theta0, mask, 400, 300,
+                         cfg, relocate_fn=reloc)
+    res_d, _ = run_chees(jax.random.key(4), gf, theta0, mask, 400, 300,
+                         cfg._replace(relocate_every=0))
+    fa = np.exp(np.asarray(res_c.thetas)[..., 2]).sum(-1)
+    fb = np.exp(np.asarray(res_d.thetas)[..., 2]).sum(-1)
+    cmp = diagnostics.compare_moments(fa, fb, "total_flux")
+    assert cmp["z"] < 4.0, cmp
