@@ -45,8 +45,12 @@ def point(n_islands, island_size, seed):
     print(json.dumps(row), flush=True)
     return row
 
-for g, s in ((16, 512), (8, 512)):
-    out["cfg4"].append(point(g, s, seed=1))
+for g, s, seed in ((16, 512, 1), (8, 512, 1), (32, 256, 0), (4, 2048, 0)):
+    done = [r for r in out["cfg4"]
+            if (r["n_islands"], r["island_size"], r["seed"]) == (g, s, seed)]
+    if done:
+        continue
+    out["cfg4"].append(point(g, s, seed=seed))
     with open(PATH, "w") as fh:
         json.dump(out, fh, indent=1)
 print("appended to", PATH)

@@ -166,14 +166,19 @@ cfg4_crowded = _register(RunConfig(
         # n_final_rounds=12 returned a known-unconverged mode 41).
         # final_n_leapfrog deliberately NOT raised, n_islands deliberately
         # 1: population-flux diversity measured FLAT across 16x trajectory
-        # lengths and 4x trans-d sweeps, and 16 independent-ancestry
-        # islands of 256 particles EXPOSE the true between-run spread
-        # (R-hat 1.50) while under-converging per island — the honest
-        # convergence gate at single-chip particle counts is cross-seed
-        # replication, and R-hat < 1.05 in one run is a multi-host
-        # operating point (~100 islands x >=1024 particles; islands shard
-        # trivially).  Full study: runs/cfg4_mix_*.json,
-        # runs/cfg4_islands16.json, docs/DESIGN.md "population diversity".
+        # lengths and 4x trans-d sweeps (round 4).  Round-5 measured
+        # islands surface (runs/islands_surface.json, 7 cfg4 runs, 2
+        # seeds): between-island R-hat at a matched 300-round budget is a
+        # function of TOTAL population only — ~1.000 at P=8192 for EVERY
+        # geometry tested (4x2048 / 16x512 / 32x256, +45 nats logZ,
+        # identical moments) vs 1.41-1.56 at P=4096 (16x256 / 8x512).
+        # The round-4 "~100 islands x >=1024" extrapolation is
+        # superseded: the convergence lever is total particles (>=8192
+        # at this budget) and island geometry is free for the device
+        # layout (islands never communicate at resampling).  At the
+        # preset's single-chip P=4096, the honest gate remains cross-seed
+        # replication; set n_particles>=8192 n_islands=8 (or any
+        # geometry) where memory allows an in-run R-hat gate.
         plateau_window=50, plateau_tol=0.25, max_final_rounds=1500,
         mutation_chunk=256,
         transdim=TransDimConfig(lam_count=40.0, split_sigma=1.0,
