@@ -71,6 +71,27 @@ class SMCConfig(NamedTuple):
     n_leapfrog: int = 8
     fixed_point_iters: int = 4
     n_transdim_sweeps: int = 0         # > 0 enables trans-dimensional moves
+    # Dimension-preserving relocate sweeps per temperature step (round 5):
+    # each sweep gives every particle one transdim.relocate_step attempt
+    # (death + data-driven residual birth fused into one exact MH move,
+    # mixture proposal over debiased matched-filter maps).  A NEW move
+    # class for the crowded-field diversity problem: the round-4 study
+    # measured population flux ESS flat (~10-15) across 16x trajectory
+    # length and 4x trans-d churn — relocation hops star/flux
+    # CONFIGURATIONS within a lineage, which neither within-model
+    # trajectories nor birth/death churn at equilibrium K do efficiently.
+    # Costs one tempered-loglik eval + matched-filter maps per particle
+    # per sweep.  0 disables (the default): measured on the cfg4 failing
+    # islands point (16x256, 300 rounds), 2/6 sweeps left between-island
+    # R-hat at 1.59/1.47 vs the 1.56 baseline at +35% wall — the P=4096
+    # spread is between-island ANCESTRAL variance, which per-lineage
+    # configuration hops do not reduce (the measured lever is total
+    # population, runs/islands_surface.json).  The knob stays for scenes
+    # where per-lineage configuration mixing IS the limiter (it is
+    # posterior-preserving by construction and tested).
+    n_relocate_sweeps: int = 0
+    relocate_flux_sigma: float = 0.1
+    relocate_pos_sigma: float = 0.12
     # extra mutation+trans-d rounds AFTER beta reaches 1 (the tempering
     # loop otherwise stops the moment it lands on the posterior; crowded
     # fields keep finding faint stars for several more rounds — measured
@@ -315,7 +336,7 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
     p = cfg.n_particles
 
     def step(s: SMCState) -> SMCState:
-        key, k_res, k_mut, k_td = jax.random.split(s.key, 4)
+        key, k_res, k_mut, k_td, k_rel = jax.random.split(s.key, 5)
 
         # 1-2. adaptive tempering + reweight (weights are equal post-resample)
         db = _next_dbeta(s.beta, s.loglik, cfg.ess_target_frac * p)
@@ -348,6 +369,33 @@ def make_smc_step(spec: SceneSpec, image: jax.Array, prior: PriorSpec, cfg: SMCC
             (theta, mask, tll), _ = jax.lax.scan(
                 td_sweep, (theta, mask, tll),
                 jax.random.split(k_td, cfg.n_transdim_sweeps),
+            )
+
+        # 4a'. dimension-preserving relocate sweeps at temperature beta
+        # (round 5, SMCConfig.n_relocate_sweeps rationale): configuration
+        # hops within each lineage; mask is untouched, so this composes
+        # with the trans-d phase and with islands/sharding unchanged.
+        if cfg.n_relocate_sweeps > 0:
+            from .transdim import relocate_step
+
+            tllf_r = lambda th, m: beta * llf(th, m)
+            rll = jax.vmap(tllf_r)(theta, mask)
+
+            def rel_sweep(carry, k_step):
+                th, l = carry
+                keys = jax.random.split(k_step, p)
+                th, _, l, _ = jax.vmap(
+                    lambda kk, t, mm, ll: relocate_step(
+                        kk, t, mm, ll, tllf_r, prior, spec, image,
+                        cfg.transdim.resid_floor,
+                        cfg.relocate_flux_sigma, cfg.relocate_pos_sigma,
+                    )
+                )(keys, th, mask, l)
+                return (th, l), None
+
+            (theta, rll), _ = jax.lax.scan(
+                rel_sweep, (theta, rll),
+                jax.random.split(k_rel, cfg.n_relocate_sweeps),
             )
 
         # 4b. within-model mutation at temperature beta

@@ -308,3 +308,28 @@ def test_island_smc_recovers_truth():
     assert float(res.beta) == 1.0
     flux = np.exp(np.asarray(res.theta)[:, 0, 2])
     assert abs(np.median(flux) - 300.0) / 300.0 < 0.15
+
+
+def test_smc_relocate_sweeps_preserve_posterior():
+    """Round-5 relocate sweeps in the SMC mutation phase: an exact MH
+    kernel over the tempered target, so the posterior must match a
+    relocation-free run within MC error, masks must be untouched by the
+    relocate phase, and the run must stay finite."""
+    spec = SceneSpec(16, 16, 1.5, 5.0)
+    prior = PriorSpec(5.0, 1.0)
+    x, y, f = jnp.array([5.0, 11.0]), jnp.array([6.0, 10.0]), jnp.array([250.0, 180.0])
+    img = make_mock_image(jax.random.key(7), x, y, f, spec)
+    base = SMCConfig(n_particles=256, n_mutation_steps=1, n_leapfrog=5,
+                     mutation="hmc", n_final_rounds=4)
+
+    r0 = run_smc(jax.random.key(1), spec, img, prior, 2, base)
+    r1 = run_smc(jax.random.key(1), spec, img, prior, 2,
+                 base._replace(n_relocate_sweeps=2))
+    f0 = (np.exp(np.asarray(r0.theta)[..., 2]) * np.asarray(r0.mask)).sum(-1)
+    f1 = (np.exp(np.asarray(r1.theta)[..., 2]) * np.asarray(r1.mask)).sum(-1)
+    assert np.isfinite(np.asarray(r1.theta)).all()
+    np.testing.assert_array_equal(np.asarray(r1.mask),
+                                  np.ones_like(np.asarray(r1.mask)))
+    # moment gate: same posterior within MC error of the two populations
+    se = np.hypot(f0.std() / np.sqrt(50), f1.std() / np.sqrt(50))
+    assert abs(f0.mean() - f1.mean()) < 4 * se, (f0.mean(), f1.mean())
