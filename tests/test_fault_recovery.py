@@ -262,9 +262,13 @@ def gf(theta):
 
 theta0 = 0.5 * jax.random.normal(jax.random.key(0), (8, 1, 3))
 mask = jnp.ones(1)
-# max_warmup_extensions=0: the crash-mode worker replicates ONLY the base
-# warmup leg below, so the full/resume paths must not extend either
-cfg = ChEESConfig(step_size=0.3, traj_length=0.5, max_warmup_extensions=0)
+# max_warmup_extensions=0 / max_eq_stages=0: the crash-mode worker
+# replicates ONLY the base warmup leg below, so the full/resume paths
+# must run neither T-extensions nor the round-5 equilibration blocks
+# (gate-on resume consistency is covered by run_chees-level tests in
+# test_chees.py; this test pins the SIGKILL + checkpoint-file flow)
+cfg = ChEESConfig(step_size=0.3, traj_length=0.5, max_warmup_extensions=0,
+                  max_eq_stages=0)
 N, WARM, BLOCK = 40, 30, 10
 
 if mode == "crash":
